@@ -1,0 +1,32 @@
+"""deepqmc_tpu: a TPU-native deep-learning variational Monte Carlo framework.
+
+A ground-up rebuild of the capabilities of deepqmc/deepqmc (reference mounted
+at /root/reference) designed for TPU hardware: one fused jitted training step
+over a device mesh, forward-Laplacian local energies, Pallas kernels on the
+hot paths, and an in-house KFAC natural-gradient optimizer.
+"""
+
+import jax
+
+from .hamil import MolecularHamiltonian  # noqa: F401
+from .molecule import Molecule  # noqa: F401
+from .parallel import maybe_init_multi_host
+from .types import Ansatz, PhysicalConfiguration, Psi, TrainState  # noqa: F401
+
+__version__ = '0.1.0'
+
+# VMC needs accurate matmuls: like the reference (__init__.py:9-34 forces
+# highest matmul precision / disables TF32), default all f32 matmuls to the
+# highest TPU precision unless the user overrides it.
+jax.config.update('jax_default_matmul_precision', 'highest')
+
+maybe_init_multi_host()
+
+__all__ = [
+    'Ansatz',
+    'Molecule',
+    'MolecularHamiltonian',
+    'PhysicalConfiguration',
+    'Psi',
+    'TrainState',
+]

@@ -1,0 +1,248 @@
+"""Molecular Hamiltonian: system bookkeeping and the local-energy factory.
+
+Reference: /root/reference/src/deepqmc/hamil.py:32-315.  The local-energy
+closure mirrors the reference decomposition E_loc = E_kin + V_loc + V_nl +
+V_el + E_nuc with E_kin = -1/2 (lap log|psi| + |grad log|psi||^2), but the
+Laplacian operator is pluggable (``laplacian_factory``) and defaults to the
+TPU forward-Laplacian engine at higher layers.
+"""
+
+from collections.abc import Callable
+from functools import partial
+from itertools import count
+from typing import Any, Optional, Protocol
+
+import jax
+import jax.numpy as jnp
+
+from .molecule import Molecule
+from .physics import (
+    NuclearCoulombPotential,
+    electronic_potential,
+    loop_laplacian,
+    nuclear_energy,
+    pairwise_distance,
+)
+from .types import (
+    Energy,
+    KeyArray,
+    ParametrizedWaveFunction,
+    Params,
+    PhysicalConfiguration,
+    Stats,
+)
+from .utils import argmax_random_choice
+
+__all__ = ['MolecularHamiltonian', 'LaplacianFactory']
+
+
+class LaplacianFactory(Protocol):
+    """f -> (x -> (lap f(x), grad f(x))) factory (reference hamil.py:32-41)."""
+
+    def __call__(
+        self, f: Callable[[jax.Array], jax.Array]
+    ) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]: ...
+
+
+def get_shell(z) -> int:
+    """Number of (at least partially) occupied shells for ``z`` electrons."""
+    max_elec = 0
+    for n in count():
+        if z <= max_elec:
+            return n
+        max_elec += 2 * (1 + n) ** 2
+
+
+class MolecularHamiltonian:
+    """Hamiltonian of a non-relativistic molecular system.
+
+    Args:
+        mol: the molecule.
+        ecp_type: if set ('bfd' or 'ccECP'), use effective core potentials.
+        ecp_mask: per-nucleus booleans selecting ECP treatment; defaults to
+            all nuclei with Z > 2 when ``ecp_type`` is given.
+        elec_std: scaling of the initial electron spread around nuclei.
+        laplacian_factory: operator used for the kinetic energy.
+    """
+
+    def __init__(
+        self,
+        *,
+        mol: Molecule,
+        ecp_type: Optional[str] = None,
+        ecp_mask: Optional[list[bool]] = None,
+        elec_std: float = 1.0,
+        laplacian_factory: LaplacianFactory = loop_laplacian,
+    ):
+        self.mol = mol
+        self.elec_std = elec_std
+        self.ecp_type = ecp_type
+
+        if ecp_type is None:
+            ecp_mask = [False] * len(mol.charges)
+        elif ecp_mask is None:
+            ecp_mask = [bool(z) for z in (mol.charges > 2)]
+        assert len(ecp_mask) == len(mol.charges), 'Incompatible shape of ecp_mask'
+        self.ecp_mask = jnp.asarray(ecp_mask)
+
+        self.laplacian = laplacian_factory
+        if self.ecp_mask.any():
+            from .ecp.gaussian_type_ecp import GaussianTypeECP
+
+            self.potential = GaussianTypeECP(mol.charges, ecp_type, self.ecp_mask)
+        else:
+            self.potential = NuclearCoulombPotential(mol.charges)
+
+        n_elec = int(sum(self.potential.ns_valence) - mol.charge)
+        assert not (n_elec + mol.spin) % 2, 'n_elec and spin have different parity'
+        assert n_elec > 1, 'The system must contain at least two active electrons.'
+
+        self.n_nuc = len(mol.charges)
+        self.n_up = (n_elec + mol.spin) // 2
+        self.n_down = (n_elec - mol.spin) // 2
+        self.ns_valence = self.potential.ns_valence
+        self.mol_shells = [get_shell(z) for z in self.mol.charges]
+        self.mol_ecp_shells = [
+            get_shell(z + 1) - 1 for z in self.mol.charges - self.ns_valence
+        ]
+
+    # --- walker initialization ---------------------------------------------
+
+    def init_sample(
+        self, rng: KeyArray, R: jax.Array, n: int, elec_std: Optional[float] = None
+    ) -> PhysicalConfiguration:
+        """Heuristic initial electron positions for ``n`` walkers.
+
+        Electrons are placed in normal clouds around nuclei, with integer
+        electron counts per nucleus resolved by charge and spin heuristics
+        (reference hamil.py:152-262).
+        """
+        assert R.ndim == 2
+        Rs = jnp.tile(R[None], (n, 1, 1))
+        return jax.vmap(self.init_single_sample, (0, 0, None))(
+            jax.random.split(rng, n), Rs, elec_std
+        )
+
+    def init_single_sample(
+        self, rng: KeyArray, R: jax.Array, elec_std: Optional[float]
+    ) -> PhysicalConfiguration:
+        rng_remainder, rng_normal, rng_spin = jax.random.split(rng, 3)
+        valence = self.ns_valence - self.mol.charge / self.n_nuc
+        elec_of_atom = jnp.floor(valence).astype(jnp.int32)
+        n_elec = self.n_up + self.n_down
+
+        # distribute leftover electrons to the atoms most lacking them
+        def missing(carry):
+            _, counts = carry
+            return counts.sum() < n_elec
+
+        def add_one(carry):
+            rng, counts = carry
+            rng, rng_cat = jax.random.split(rng)
+            atom = jax.random.categorical(rng_cat, valence - counts, shape=())
+            return rng, counts.at[atom].add(1)
+
+        _, elec_of_atom = jax.lax.while_loop(
+            missing, add_one, (rng_remainder, elec_of_atom)
+        )
+
+        up, down = self.distribute_spins(rng_spin, R, elec_of_atom)
+        # per-electron nucleus indices from per-atom counts
+        up_idx = (jnp.cumsum(up)[:, None] <= jnp.arange(self.n_up)).sum(axis=0)
+        down_idx = (jnp.cumsum(down)[:, None] <= jnp.arange(self.n_down)).sum(axis=0)
+        idxs = jnp.concatenate([up_idx, down_idx])
+        centers = R[idxs]
+        std = (elec_std or self.elec_std) * jnp.sqrt(self.mol.charges)[idxs][..., None]
+        r = centers + std * jax.random.normal(rng_normal, centers.shape)
+        return PhysicalConfiguration(R, r, jnp.array(0))
+
+    def distribute_spins(
+        self, rng: KeyArray, R: jax.Array, elec_of_atom: jax.Array
+    ) -> tuple[jax.Array, jax.Array]:
+        """Assign per-atom up/down electron counts (reference hamil.py:215-262)."""
+        up, down = jnp.zeros_like(elec_of_atom), jnp.zeros_like(elec_of_atom)
+
+        # pair up electrons evenly across atoms first
+        def pair_cond(carry):
+            i, *_ = carry
+            return i < jnp.max(elec_of_atom)
+
+        def pair_body(carry):
+            i, up, down = carry
+            mask = elec_of_atom >= 2 * (i + 1)
+            inc = jnp.where(mask & (mask.sum() + down.sum() <= self.n_down), 1, 0)
+            return i + 1, up + inc, down + inc
+
+        _, up, down = jax.lax.while_loop(pair_cond, pair_body, (0, up, down))
+
+        # place remaining electrons so that opposite spins sit on neighboring
+        # atoms, mimicking covalent bonds
+        dists = pairwise_distance(R, R).at[jnp.diag_indices(len(R))].set(jnp.inf)
+        neighbor_order = jnp.argsort(dists)
+
+        def rest_cond(carry):
+            _, _, up, down = carry
+            return (up + down < elec_of_atom).any()
+
+        def rest_body(carry):
+            i, center, up, down = carry
+            is_down = (i % 2) & (down.sum() < self.n_down)
+            up = up.at[center].add(1 - is_down)
+            down = down.at[center].add(is_down)
+            ordering = neighbor_order[center]
+            has_remainder = (elec_of_atom - up - down)[ordering] > 0
+            center = ordering[jnp.argmax(has_remainder)]
+            return i + 1, center, up, down
+
+        center = argmax_random_choice(rng, elec_of_atom - up - down)
+        *_, up, down = jax.lax.while_loop(
+            rest_cond, rest_body, (jnp.array(0), center, up, down)
+        )
+        return up, down
+
+    # --- local energy -------------------------------------------------------
+
+    def local_energy(self, ansatz: ParametrizedWaveFunction) -> Callable[
+        [Optional[KeyArray], Params, PhysicalConfiguration],
+        tuple[Energy, Stats],
+    ]:
+        def loc_ene(
+            rng: Optional[KeyArray], params: Params, phys_conf: PhysicalConfiguration
+        ) -> tuple[Energy, Stats]:
+            wf = partial(ansatz, params)
+
+            def log_psi_of_flat_r(r_flat: jax.Array) -> jax.Array:
+                return wf(phys_conf.replace(r=r_flat.reshape(-1, 3))).log
+
+            lap_log_psi, grad_log_psi = self.laplacian(log_psi_of_flat_r)(
+                phys_conf.r.flatten()
+            )
+            quantum_force_sq = (grad_log_psi**2).sum(axis=-1)
+            E_kin = -0.5 * (lap_log_psi + quantum_force_sq)
+            E_nuc = nuclear_energy(phys_conf, self.ns_valence)
+            V_el = electronic_potential(phys_conf)
+            V_loc = self.potential.local_potential(phys_conf)
+            V_nl = self.potential.nonloc_potential(rng, phys_conf, wf)
+            E_loc = E_kin + V_loc + V_nl + V_el + E_nuc
+            stats = {
+                'hamil/V_el': V_el,
+                'hamil/E_kin': E_kin,
+                'hamil/V_loc': V_loc,
+                'hamil/V_nl': V_nl,
+                'hamil/lap': lap_log_psi,
+                'hamil/quantum_force': quantum_force_sq,
+            }
+            return E_loc, stats
+
+        return loc_ene
+
+    def as_pyscf(self, *, coords: Optional[jax.Array] = None) -> dict[str, Any]:
+        """System description in pyscf's ``gto.M`` keyword format."""
+        coords = coords if coords is not None else self.mol.coords
+        return {
+            'atom': [(int(c), r.tolist()) for c, r in zip(self.mol.charges, coords)],
+            'charge': self.mol.charge,
+            'spin': self.mol.spin,
+            'ecp': {int(c): self.ecp_type for c in self.mol.charges[self.ecp_mask]},
+            'unit': 'bohr',
+        }

@@ -1,0 +1,95 @@
+"""Edge featurizations (reference: /root/reference/src/deepqmc/gnn/edge_features.py)."""
+
+from typing import Optional, Protocol
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import norm
+
+__all__ = ()
+
+
+class EdgeFeature(Protocol):
+    """Maps difference vectors [..., 3] to feature vectors [..., len(self)]."""
+
+    def __call__(self, d: jax.Array) -> jax.Array: ...
+
+    def __len__(self) -> int: ...
+
+
+class DifferenceEdgeFeature:
+    """The raw difference vector, optionally rescaled by log(1+r)/r."""
+
+    def __init__(self, *, log_rescale: bool = False):
+        self.log_rescale = log_rescale
+
+    def __call__(self, d: jax.Array) -> jax.Array:
+        if self.log_rescale:
+            r = norm(d, safe=True)
+            d = d * (jnp.log1p(r) / r)[..., None]
+        return d
+
+    def __len__(self) -> int:
+        return 3
+
+
+class DistancePowerEdgeFeature:
+    """Powers of the edge length, with safe negative powers."""
+
+    def __init__(
+        self,
+        *,
+        powers: list[float],
+        eps: Optional[float] = None,
+        log_rescale: bool = False,
+    ):
+        if any(p < 0 for p in powers):
+            assert eps is not None
+        self.powers = jnp.asarray(powers)
+        self.eps = eps or 0.0
+        self.log_rescale = log_rescale
+
+    def __call__(self, d: jax.Array) -> jax.Array:
+        r = norm(d, safe=True)
+        feats = jnp.where(
+            self.powers > 0,
+            r[..., None] ** self.powers,
+            1 / (r[..., None] ** (-self.powers) + self.eps),
+        )
+        if self.log_rescale:
+            feats = feats * (jnp.log1p(r) / r)[..., None]
+        return feats
+
+    def __len__(self) -> int:
+        return len(self.powers)
+
+
+class GaussianEdgeFeature:
+    """Distance expanded in a quadratically-spaced Gaussian basis."""
+
+    def __init__(self, *, n_gaussian: int, radius: float, offset: bool):
+        delta = 1 / (2 * n_gaussian) if offset else 0
+        qs = jnp.linspace(delta, 1 - delta, n_gaussian)
+        self.mus = radius * qs**2
+        self.sigmas = (1 + radius * qs) / 7
+
+    def __call__(self, d: jax.Array) -> jax.Array:
+        r = norm(d, safe=True)
+        return jnp.exp(-((r[..., None] - self.mus) ** 2) / self.sigmas**2)
+
+    def __len__(self) -> int:
+        return len(self.mus)
+
+
+class CombinedEdgeFeature:
+    """Concatenation of several edge features."""
+
+    def __init__(self, *, features: list):
+        self.features = features
+
+    def __call__(self, d: jax.Array) -> jax.Array:
+        return jnp.concatenate([f(d) for f in self.features], axis=-1)
+
+    def __len__(self) -> int:
+        return sum(map(len, self.features))

@@ -1,0 +1,189 @@
+"""Samplers combining electronic states, molecular geometries, and datasets.
+
+Reference: /root/reference/src/deepqmc/sampling/combined_samplers.py.
+"""
+
+import logging
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..types import KeyArray, Params, PhysicalConfiguration, SamplerState, Stats
+from ..utils import better_where
+from .nuclei_samplers import IdleNucleiSampler  # noqa: F401  (re-export)
+
+log = logging.getLogger(__name__)
+
+
+class MoleculeIdxSampler:
+    """Host-side round-robin/shuffled minibatching of molecule indices."""
+
+    def __init__(
+        self,
+        rng: KeyArray,
+        n_mols: int,
+        batch_size: int,
+        shuffle: Union[bool, str] = False,
+    ):
+        assert shuffle in (False, 'once', 'always')
+        self.rng = rng
+        self.n_mols = n_mols
+        self.batch_size = batch_size
+        self.state = 0
+        self.shuffle = shuffle
+        self.permutation = self.new_permutation()
+
+    def new_permutation(self) -> jax.Array:
+        permutation = jnp.arange(self.n_mols)
+        if self.shuffle:
+            rng_next, rng = jax.random.split(self.rng)
+            permutation = jax.random.permutation(rng, permutation)
+            if self.shuffle == 'always':
+                self.rng = rng_next
+        return permutation
+
+    def sample(self) -> jax.Array:
+        idx = jnp.arange(self.state, min(self.state + self.batch_size, self.n_mols))
+        value = [self.permutation[idx]]
+        if len(idx) < self.batch_size:
+            self.permutation = self.new_permutation()
+            value.append(self.permutation[jnp.arange(self.batch_size - len(idx))])
+        self.state = (self.state + self.batch_size) % self.n_mols
+        return jnp.concatenate(value)
+
+
+class MultiElectronicStateSampler:
+    """vmap an electron sampler over the electronic-state axis."""
+
+    def __init__(self, sampler, n_state: int):
+        self.sampler = sampler
+        self.n_state = n_state
+
+    def init(
+        self, rng: KeyArray, params: Params, electron_batch_size: int, R: jax.Array
+    ) -> SamplerState:
+        rngs = jax.random.split(rng, self.n_state)
+        return jax.vmap(self.sampler.init, (0, 0, None, None))(
+            rngs, params, electron_batch_size, R
+        )
+
+    def sample(self, rng, state, params, R):
+        rngs = jax.random.split(rng, self.n_state)
+        return jax.vmap(self.sampler.sample, (0, 0, 0, None))(rngs, state, params, R)
+
+    def update(self, state, params, R):
+        return jax.vmap(self.sampler.update, (0, 0, None))(state, params, R)
+
+
+class MultiNuclearGeometrySampler:
+    """vmap over the molecule-batch axis with optional nuclear updates.
+
+    Handles datasets of geometries for transferable training; nuclear moves
+    (when ``update_nuc_period`` is set) trigger electron warping and
+    re-equilibration (reference combined_samplers.py:93-214).
+    """
+
+    def __init__(
+        self,
+        elec_sampler: MultiElectronicStateSampler,
+        nuc_sampler,
+        warp_elec_fn,
+        update_nuc_period: Optional[int],
+        elec_equilibration_steps: Optional[int],
+    ):
+        self.elec_sampler = elec_sampler
+        self.nuc_sampler = nuc_sampler
+        self.warp_elec_fn = warp_elec_fn
+        self.update_nuc_period = update_nuc_period
+        self.elec_equilibration_steps = elec_equilibration_steps
+
+    def init(self, rng, params, electron_batch_size, R):
+        rngs = jax.random.split(rng, len(R))
+        elec = jax.vmap(self.elec_sampler.init, (0, None, None, 0))(
+            rngs, params, electron_batch_size, R
+        )
+        nuc = jax.vmap(self.nuc_sampler.init)(R)
+        return {
+            'nuc': nuc,
+            'elec': elec,
+            'update_nuc_counter': jnp.zeros(len(R)),
+        }
+
+    def update_nuc(self, rng, smpl_state, params):
+        rng_nuc, rng_warp, rng_eq = jax.random.split(rng, 3)
+        smpl_state['nuc'], dR, stats = self.nuc_sampler.sample(
+            rng_nuc, smpl_state['nuc']
+        )
+        smpl_state['elec'] = self.warp_elec_fn(
+            rng_warp, smpl_state['nuc']['R'], dR, smpl_state['elec']
+        )
+        smpl_state['elec'] = self.elec_sampler.update(
+            smpl_state['elec'], params, smpl_state['nuc']['R']
+        )
+        if self.elec_equilibration_steps is not None:
+            smpl_state['elec'] = jax.lax.fori_loop(
+                0,
+                self.elec_equilibration_steps,
+                lambda i, state: self.elec_sampler.sample(
+                    jax.random.fold_in(rng_eq, i),
+                    state,
+                    params,
+                    smpl_state['nuc']['R'],
+                )[0],
+                smpl_state['elec'],
+            )
+        return smpl_state, stats
+
+    def sample(
+        self,
+        rng: KeyArray,
+        smpl_state: SamplerState,
+        params: Params,
+        mol_idxs: jax.Array,
+    ) -> tuple[SamplerState, PhysicalConfiguration, Stats]:
+        rngs_elec, rngs_nuc = jax.random.split(rng, (2, len(mol_idxs)))
+        smpl_state = dict(smpl_state)
+        counter = smpl_state.pop('update_nuc_counter')
+        state_it = jax.tree_util.tree_map(lambda x: x[mol_idxs], smpl_state)
+        if self.update_nuc_period is not None:
+            condition = counter[mol_idxs] == self.update_nuc_period - 1
+            state_it = jax.lax.cond(
+                jnp.any(condition),
+                jax.vmap(lambda r, s: self.update_nuc(r, s, params)[0]),
+                lambda r, s: s,
+                rngs_nuc,
+                state_it,
+            )
+            state_it = jax.tree_util.tree_map(
+                lambda a, b: better_where(condition, a, b[mol_idxs]),
+                state_it,
+                smpl_state,
+            )
+            smpl_state = jax.tree_util.tree_map(
+                lambda x, y: x.at[mol_idxs].set(y), smpl_state, state_it
+            )
+            counter = counter.at[mol_idxs].set(
+                jnp.where(condition, 0, counter[mol_idxs] + 1)
+            )
+        state_it_elec, phys_conf, stats = jax.vmap(
+            self.elec_sampler.sample, (0, 0, None, 0)
+        )(rngs_elec, state_it['elec'], params, state_it['nuc']['R'])
+        state_it = {**state_it, 'elec': state_it_elec}
+        smpl_state = jax.tree_util.tree_map(
+            lambda x, y: x.at[mol_idxs].set(y), smpl_state, state_it
+        )
+        smpl_state['update_nuc_counter'] = counter
+        batch_mol_idxs = jnp.tile(
+            jnp.expand_dims(mol_idxs, tuple(range(1, len(phys_conf.batch_shape)))),
+            (1, *phys_conf.batch_shape[1:]),
+        )
+        phys_conf = phys_conf.replace(mol_idx=batch_mol_idxs)
+        return smpl_state, phys_conf, stats
+
+    def update(self, smpl_state: SamplerState, params: Params) -> SamplerState:
+        smpl_state = dict(smpl_state)
+        smpl_state['elec'] = jax.vmap(self.elec_sampler.update, (0, None, 0))(
+            smpl_state['elec'], params, smpl_state['nuc']['R']
+        )
+        return smpl_state

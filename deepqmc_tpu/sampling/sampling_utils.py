@@ -1,0 +1,163 @@
+"""Sampler composition, force regularization, equilibration, initialization.
+
+Reference: /root/reference/src/deepqmc/sampling/sampling_utils.py.  The jitted
+equilibration drive replaces the reference's per-step ``pmap`` dispatch
+(sampling_utils.py:104-131): one compiled sampling step, host-side early
+stopping on the pairwise-distance criterion.
+"""
+
+from collections.abc import Callable, Iterable
+from functools import reduce
+from statistics import mean, stdev
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..hamil import MolecularHamiltonian
+from ..molecule import Molecule
+from ..parallel import rng_iterator, shard_walkers
+from ..physics import pairwise_diffs
+from ..types import Ansatz, KeyArray, Params, PhysicalConfiguration, SamplerState
+from .combined_samplers import (
+    MoleculeIdxSampler,
+    MultiElectronicStateSampler,
+    MultiNuclearGeometrySampler,
+)
+from .nuclei_samplers import IdleNucleiSampler, no_elec_warp
+
+__all__ = ['chain', 'combine_samplers']
+
+
+def chain(*samplers):
+    """Compose wrapper samplers around a base electron sampler.
+
+    ``chain(DecorrSampler(length=20), metropolis)`` samples every 20th MCMC
+    step.  Equivalent surface to the reference's dynamic-MRO ``chain``
+    (sampling_utils.py:31-56) but via explicit wrapping.
+    """
+    *wrappers, base = samplers
+    return reduce(lambda inner, w: w.wrap(inner), reversed(wrappers), base)
+
+
+def combine_samplers(samplers, hamil: MolecularHamiltonian, wf) -> object:
+    """Instantiate the base sampler with (hamil, wf) and chain the wrappers."""
+    return chain(*samplers[:-1], samplers[-1](hamil=hamil, wf=wf))
+
+
+def diffs_to_nearest_nuc(r: jax.Array, coords: jax.Array):
+    z = pairwise_diffs(r, coords)
+    idx = jnp.argmin(z[..., -1], axis=-1)
+    return z[jnp.arange(len(r)), idx], idx
+
+
+def crossover_parameter(z, f, charge):
+    z, z2 = z[..., :3], z[..., 3]
+    eps = jnp.finfo(f.dtype).eps
+    z_unit = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
+    f_unit = f / jnp.clip(jnp.linalg.norm(f, axis=-1, keepdims=True), eps, None)
+    Z2z2 = charge**2 * z2
+    return (1 + jnp.sum(f_unit * z_unit, axis=-1)) / 2 + Z2z2 / (10 * (4 + Z2z2))
+
+
+def clean_force(force, phys_conf: PhysicalConfiguration, mol: Molecule, *, tau):
+    """Regularize the quantum force: crossover damping near nuclei plus a
+    norm cutoff, keeping MALA proposals stable (reference
+    sampling_utils.py:79-101)."""
+    z, idx = jax.vmap(diffs_to_nearest_nuc)(phys_conf.r, phys_conf.R)
+    a = crossover_parameter(z, force, mol.charges[idx])
+    av2tau = a * jnp.sum(force**2, axis=-1) * tau
+    factor = 2 / (jnp.sqrt(1 + 2 * av2tau) + 1)
+    force = factor[..., None] * force
+    eps = jnp.finfo(phys_conf.r.dtype).eps
+    norm_factor = jnp.minimum(
+        1.0,
+        jnp.sqrt(z[..., -1])
+        / (tau * jnp.clip(jnp.linalg.norm(force, axis=-1), eps, None)),
+    )
+    return force * norm_factor[..., None]
+
+
+def equilibrate(
+    rng: KeyArray,
+    params: Params,
+    molecule_idx_sampler: MoleculeIdxSampler,
+    sampler: MultiNuclearGeometrySampler,
+    state: SamplerState,
+    criterion: Callable[[PhysicalConfiguration], jax.Array],
+    steps: Iterable[int],
+    *,
+    block_size: int,
+    n_blocks: int = 5,
+    allow_early_stopping: bool = True,
+):
+    """Drive the sampler until the criterion time series stabilizes.
+
+    Yields ``(step, state, mol_idxs, stats)``; one jitted sampling step.
+    """
+    sample_wf = jax.jit(sampler.sample)
+
+    buffer_size = block_size * n_blocks
+    buffer: list[float] = []
+    for step, rng_step in zip(steps, rng_iterator(rng)):
+        mol_idxs = molecule_idx_sampler.sample()
+        state, phys_conf, stats = sample_wf(rng_step, state, params, mol_idxs)
+        yield step, state, mol_idxs, stats
+        if allow_early_stopping:
+            buffer = [*buffer[-buffer_size + 1 :], criterion(phys_conf).item()]
+            if len(buffer) < buffer_size:
+                continue
+            b1, b2 = buffer[:block_size], buffer[-block_size:]
+            if abs(mean(b1) - mean(b2)) < min(stdev(b1), stdev(b2)):
+                break
+
+
+def initialize_sampling(
+    rng: KeyArray,
+    hamil: MolecularHamiltonian,
+    ansatz: Ansatz,
+    mols: list[Molecule],
+    electronic_states: int,
+    molecule_batch_size: int,
+    *,
+    elec_sampler,
+    nuc_sampler=None,
+    elec_warp_fn: Optional[Callable] = None,
+    update_nuc_period: Optional[int] = None,
+    elec_equilibration_steps: Optional[int] = None,
+) -> tuple[MoleculeIdxSampler, MultiNuclearGeometrySampler]:
+    """Wire electron/nuclei samplers into the combined hierarchy."""
+    molecule_idx_sampler = MoleculeIdxSampler(
+        rng, len(mols), molecule_batch_size, 'once'
+    )
+    elec_sampler = elec_sampler(hamil=hamil, wf=ansatz.apply)
+    multi_state = MultiElectronicStateSampler(elec_sampler, electronic_states)
+    nuc_sampler = (IdleNucleiSampler if nuc_sampler is None else nuc_sampler)(
+        hamil.mol.charges
+    )
+    sampler = MultiNuclearGeometrySampler(
+        multi_state,
+        nuc_sampler,
+        no_elec_warp if elec_warp_fn is None else elec_warp_fn,
+        update_nuc_period,
+        elec_equilibration_steps,
+    )
+    return molecule_idx_sampler, sampler
+
+
+def initialize_sampler_state(
+    rng: KeyArray, sampler, params: Params, electron_batch_size: int, mols
+) -> SamplerState:
+    """Initialize the global sampler state, sharded over the walker axis.
+
+    The reference pmaps this with a per-device batch slice
+    (sampling_utils.py:169-179); here the state is one global array batch
+    ``[mol, state, walker, ...]`` with the walker axis sharded on the mesh.
+    """
+    state = jax.jit(sampler.init, static_argnums=2)(
+        rng,
+        params,
+        electron_batch_size,
+        jnp.stack([mol.coords for mol in mols]),
+    )
+    return shard_walkers(state)

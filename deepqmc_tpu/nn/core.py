@@ -54,6 +54,7 @@ class Frame:
         self.scopes = [_Scope('')]
         self.captures: Optional[dict] = None
         self.perturbations: Optional[dict] = None
+        self.call_counts: dict[str, int] = {}
 
     def next_rng(self):
         assert self.rng is not None, 'rng only available inside init'
@@ -171,14 +172,20 @@ def tag_dense(x_in: jax.Array, out: jax.Array) -> jax.Array:
 
     Records the layer input (for the KFAC activation factor) and adds the
     zero-valued output perturbation (whose gradient is the pre-activation
-    sensitivity).  A no-op in regular applies.
+    sensitivity).  Perturbations are per call: ``frame.perturbations[path]``
+    is a list indexed by the call count, so weight-shared layers get distinct
+    sensitivities per application.  A no-op in regular applies.
     """
     frame = current_frame()
     path = current_path()
+    call_idx = frame.call_counts.get(path, 0)
+    frame.call_counts[path] = call_idx + 1
     if frame.captures is not None:
         frame.captures.setdefault(path, []).append((x_in, out.shape))
     if frame.perturbations is not None and path in frame.perturbations:
-        out = out + frame.perturbations[path]
+        entries = frame.perturbations[path]
+        if call_idx < len(entries):
+            out = out + entries[call_idx]
     return out
 
 

@@ -103,11 +103,11 @@ def test_instrumented_captures_and_perturbations():
     assert x_in.shape == (3,) and out_shape == (4,)
 
     # gradient wrt zero perturbation == sensitivity dL/d(preactivation)
-    perturb = {'l1': jnp.zeros(4), 'l2': jnp.zeros(2)}
+    perturb = {'l1': [jnp.zeros(4)], 'l2': [jnp.zeros(2)]}
     g = jax.grad(
         lambda p: model.apply_instrumented(params, p, x)[0]
     )(perturb)
-    assert np.allclose(g['l2'], 1.0)  # output layer sensitivity of a sum
+    assert np.allclose(g['l2'][0], 1.0)  # output layer sensitivity of a sum
 
 
 def test_layernorm():

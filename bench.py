@@ -1,0 +1,139 @@
+"""Headline benchmark: walker-steps/sec/chip on H2O PsiFormer.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Baseline target (BASELINE.json): 20,000 walker-steps/sec/chip at 2048 walkers,
+where one walker-step is one walker advanced through one optimization step.
+
+Usage: python bench.py [--smoke] [--walkers N] [--steps N] [--mol NAME]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+BASELINE = 20000.0
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--smoke', action='store_true', help='tiny shapes, quick check')
+    p.add_argument('--walkers', type=int, default=None)
+    p.add_argument('--steps', type=int, default=None)
+    p.add_argument('--mol', default='H2O')
+    p.add_argument('--ansatz', default='psiformer')
+    p.add_argument('--decorr', type=int, default=10)
+    p.add_argument('--optimizer', default='kfac', choices=['kfac', 'adam', 'none'])
+    args = p.parse_args()
+
+    import deepqmc_tpu as dq
+    from deepqmc_tpu.fit import fit_wf
+    from deepqmc_tpu.kfac import KFAC
+    from deepqmc_tpu.loss import create_loss_fn, median_log_squeeze_and_mask
+    from deepqmc_tpu.observable import default_observable_monitors
+    from deepqmc_tpu.optimizer import KFACOptimizer, NoOptimizer, OptaxOptimizer
+    from deepqmc_tpu.presets import ansatz_preset
+    from deepqmc_tpu.sampling import (
+        DecorrSampler,
+        MetropolisSampler,
+        combine_samplers,
+        initialize_sampler_state,
+        initialize_sampling,
+    )
+    from deepqmc_tpu.types import TrainState
+    from deepqmc_tpu.utils import ConstantSchedule, InverseSchedule
+    from deepqmc_tpu.wf import init_wf_params, instantiate_ansatz
+
+    walkers = args.walkers or (64 if args.smoke else 2048)
+    n_steps = args.steps or (3 if args.smoke else 10)
+    mol = 'H2' if args.smoke and args.mol == 'H2O' else args.mol
+    preset_kwargs = (
+        {'n_determinants': 2, 'embedding_dim': 32, 'n_interactions': 2, 'num_heads': 2}
+        if args.smoke
+        else {}
+    )
+
+    hamil = dq.MolecularHamiltonian(mol=dq.Molecule.from_name(mol))
+    ansatz = instantiate_ansatz(hamil, ansatz_preset(args.ansatz, **preset_kwargs))
+    mols = [hamil.mol]
+    mol_idx_sampler, sampler = initialize_sampling(
+        jax.random.PRNGKey(0),
+        hamil,
+        ansatz,
+        mols,
+        electronic_states=1,
+        molecule_batch_size=1,
+        elec_sampler=partial(
+            combine_samplers,
+            [
+                DecorrSampler(length=args.decorr),
+                partial(MetropolisSampler, tau=1.0),
+            ],
+        ),
+    )
+    params = init_wf_params(jax.random.PRNGKey(1), hamil, ansatz, 1)
+    smpl_state = initialize_sampler_state(
+        jax.random.PRNGKey(2), sampler, params, walkers, mols
+    )
+    if args.optimizer == 'kfac':
+        opt_factory = partial(
+            KFACOptimizer,
+            kfac=partial(
+                KFAC,
+                learning_rate_schedule=InverseSchedule(0.05, 10000),
+                damping_schedule=ConstantSchedule(1e-3),
+                norm_constraint=1e-3,
+            ),
+        )
+    elif args.optimizer == 'adam':
+        import optax
+
+        opt_factory = partial(OptaxOptimizer, optax_opt=optax.adam(1e-3))
+    else:
+        opt_factory = NoOptimizer
+
+    times = []
+    last = None
+    for step, *_rest in fit_wf(
+        jax.random.PRNGKey(3),
+        hamil,
+        ansatz,
+        opt_factory,
+        mol_idx_sampler,
+        sampler,
+        range(n_steps + 2),
+        TrainState(smpl_state, params, None),
+        partial(create_loss_fn, clip_mask_fn=median_log_squeeze_and_mask),
+        [m.finalize(hamil, ansatz.apply) for m in default_observable_monitors()],
+    ):
+        now = time.perf_counter()
+        if last is not None and step >= 2:  # skip compile + first step
+            times.append(now - last)
+        last = now
+
+    step_time = float(np.median(times))
+    n_chips = len(jax.devices())
+    value = walkers / step_time / n_chips
+    print(
+        json.dumps(
+            {
+                'metric': 'walker-steps/sec/chip',
+                'value': round(value, 1),
+                'unit': f'walkers*opt_steps/s/chip ({mol} {args.ansatz}, '
+                f'{walkers} walkers, decorr {args.decorr}, {args.optimizer}, '
+                f'{n_chips} chip(s), step {step_time * 1e3:.0f} ms)',
+                'vs_baseline': round(value / BASELINE, 4),
+            }
+        )
+    )
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,432 @@
+"""Forward-Laplacian engine: single-pass (value, Jacobian, Laplacian) propagation.
+
+The reference computes the kinetic energy by looping 3N JVP-of-gradient
+passes per sample (physics.py:101-113) — its #1 hot spot (SURVEY.md §2.2).
+This module implements the forward-Laplacian method (Li et al.,
+arXiv:2307.08214, see PAPERS.md): trace the per-sample ``log psi`` function
+to a jaxpr once, then interpret it, carrying for every intermediate value
+``v`` the triplet
+
+    (v,  J[i, ...] = d v / d x_i,  L[...] = sum_i d^2 v / d x_i^2)
+
+with ``x`` the flattened 3N electron coordinates.  The primal work is shared
+across all 3N directions and the Jacobian channel turns into *batched*
+matmuls that ride the MXU, instead of 3N sequential network passes.
+
+Correctness strategy: a small set of closed-form rules covers the hot
+primitives (elementwise table, ``mul``, ``dot_general``, the custom
+``slogdet`` primitive); *piecewise-linear* primitives propagate via JVPs
+(second derivative zero); every other smooth primitive falls back to a
+generic exact rule built from nested JVPs, so the engine is total — any
+ansatz expressible in JAX differentiates correctly, at worst less fast.
+"""
+
+import logging
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.extend import core as jex_core
+
+from .ops.slogdet import slogdet_p
+
+log = logging.getLogger(__name__)
+
+__all__ = ['forward_laplacian']
+
+
+class FL(NamedTuple):
+    """Value with its Jacobian [n, *shape] and Laplacian [*shape] channels.
+
+    ``jac is None`` marks a constant (zero derivative).
+    """
+
+    x: Any
+    jac: Optional[Any]
+    lap: Optional[Any]
+
+
+def _const(x):
+    return FL(x, None, None)
+
+
+def _jac_of(v: FL, n: int):
+    if v.jac is not None:
+        return v.jac
+    return jnp.zeros((n, *jnp.shape(v.x)), jnp.result_type(v.x))
+
+
+def _lap_of(v: FL):
+    if v.lap is not None:
+        return v.lap
+    return jnp.zeros_like(v.x)
+
+
+# --- rule machinery ---------------------------------------------------------
+
+RULES = {}
+
+
+def rule(prim):
+    def register(f):
+        RULES[prim] = f
+        return f
+
+    return register
+
+
+def _closed_fn(eqn, invals):
+    """Bind fn over the *varying* args only, closing over constants."""
+    prim, params = eqn.primitive, eqn.params
+    var_idx = [i for i, v in enumerate(invals) if v.jac is not None]
+
+    def fn(*var_args):
+        args = list(v.x for v in invals)
+        for i, a in zip(var_idx, var_args):
+            args[i] = a
+        out = prim.bind(*args, **params)
+        return out if prim.multiple_results else (out,)
+
+    var_xs = tuple(invals[i].x for i in var_idx)
+    var_jacs = tuple(invals[i].jac for i in var_idx)
+    var_laps = tuple(_lap_of(invals[i]) for i in var_idx)
+    return fn, var_xs, var_jacs, var_laps
+
+
+def _linear_rule(eqn, invals, n):
+    """Exact for primitives (piecewise-)linear in their varying args."""
+    fn, var_xs, var_jacs, var_laps = _closed_fn(eqn, invals)
+    outs = fn(*var_xs)
+    jac_outs = jax.vmap(lambda *tans: jax.jvp(fn, var_xs, tans)[1])(*var_jacs)
+    lap_outs = jax.jvp(fn, var_xs, var_laps)[1]
+    return [FL(o, j, l) for o, j, l in zip(outs, jac_outs, lap_outs)]
+
+
+def _generic_rule(eqn, invals, n):
+    """Exact fallback for any smooth primitive via nested JVPs."""
+    fn, var_xs, var_jacs, var_laps = _closed_fn(eqn, invals)
+    outs = fn(*var_xs)
+
+    def jvp_tan(*tans):
+        return jax.jvp(fn, var_xs, tans)[1]
+
+    def row(*tans):
+        j = jvp_tan(*tans)
+        # f''[t, t]: differentiate the jvp once more along the same direction
+        second = jax.jvp(lambda *p: jax.jvp(fn, p, tans)[1], var_xs, tans)[1]
+        return j, second
+
+    jac_outs, second_outs = jax.vmap(row)(*var_jacs)
+    first_lap = jax.jvp(fn, var_xs, var_laps)[1]
+    lap_outs = [f + s.sum(axis=0) for f, s in zip(first_lap, second_outs)]
+    return [FL(o, j, l) for o, j, l in zip(outs, jac_outs, lap_outs)]
+
+
+def _nondiff_rule(eqn, invals, n):
+    """Primitives with non-differentiable (boolean/integer) outputs."""
+    prim = eqn.primitive
+    outs = prim.bind(*[v.x for v in invals], **eqn.params)
+    outs = outs if prim.multiple_results else [outs]
+    return [_const(o) for o in outs]
+
+
+# --- elementwise unary closed forms ----------------------------------------
+# name -> (d1(x, y), d2(x, y)) with y = f(x)
+
+_SQRT_PI = 3.141592653589793**0.5
+
+ELEMENTWISE = {
+    'exp': (lambda x, y: y, lambda x, y: y),
+    'tanh': (
+        lambda x, y: 1 - y**2,
+        lambda x, y: -2 * y * (1 - y**2),
+    ),
+    'log': (lambda x, y: 1 / x, lambda x, y: -1 / x**2),
+    'log1p': (lambda x, y: 1 / (1 + x), lambda x, y: -1 / (1 + x) ** 2),
+    'sqrt': (lambda x, y: 0.5 / y, lambda x, y: -0.25 / (y * x)),
+    'rsqrt': (lambda x, y: -0.5 * y / x, lambda x, y: 0.75 * y / x**2),
+    'sin': (lambda x, y: jnp.cos(x), lambda x, y: -y),
+    'cos': (lambda x, y: -jnp.sin(x), lambda x, y: -y),
+    'logistic': (
+        lambda x, y: y * (1 - y),
+        lambda x, y: y * (1 - y) * (1 - 2 * y),
+    ),
+    'erf': (
+        lambda x, y: 2 / _SQRT_PI * jnp.exp(-(x**2)),
+        lambda x, y: -4 * x / _SQRT_PI * jnp.exp(-(x**2)),
+    ),
+}
+
+
+def _elementwise_rule(name):
+    d1_fn, d2_fn = ELEMENTWISE[name]
+
+    def rule_fn(eqn, invals, n):
+        (v,) = invals
+        y = eqn.primitive.bind(v.x, **eqn.params)
+        d1 = d1_fn(v.x, y)
+        d2 = d2_fn(v.x, y)
+        jac = d1[None] * v.jac
+        lap = d1 * _lap_of(v) + d2 * (v.jac**2).sum(axis=0)
+        return [FL(y, jac, lap)]
+
+    return rule_fn
+
+
+def _integer_pow_rule(eqn, invals, n):
+    (v,) = invals
+    k = eqn.params['y']
+    y = lax.integer_pow(v.x, k)
+    d1 = k * lax.integer_pow(v.x, k - 1)
+    d2 = k * (k - 1) * lax.integer_pow(v.x, k - 2)
+    jac = d1[None] * v.jac
+    lap = d1 * _lap_of(v) + d2 * (v.jac**2).sum(axis=0)
+    return [FL(y, jac, lap)]
+
+
+def _bjac(v: FL, out_shape):
+    """Broadcast a Jacobian [n, *v.x.shape] to [n, *out_shape]."""
+    j = v.jac
+    pad = len(out_shape) - (j.ndim - 1)
+    j = j.reshape(j.shape[0], *(1,) * pad, *j.shape[1:])
+    return jnp.broadcast_to(j, (j.shape[0], *out_shape))
+
+
+def _mul_rule(eqn, invals, n):
+    a, b = invals
+    y = a.x * b.x
+    jac = 0
+    lap = 0
+    if a.jac is not None:
+        jac = jac + _bjac(a, y.shape) * b.x
+        lap = lap + _lap_of(a) * b.x
+    if b.jac is not None:
+        jac = jac + a.x * _bjac(b, y.shape)
+        lap = lap + a.x * _lap_of(b)
+    if a.jac is not None and b.jac is not None:
+        lap = lap + 2 * (_bjac(a, y.shape) * _bjac(b, y.shape)).sum(axis=0)
+    return [FL(y, jac, lap)]
+
+
+def _div_rule(eqn, invals, n):
+    a, b = invals
+    y = a.x / b.x
+    if b.jac is None:
+        jac = _bjac(a, y.shape) / b.x
+        lap = (_lap_of(a) + jnp.zeros_like(y)) / b.x
+        return [FL(y, jac, lap)]
+    inv_b = 1 / b.x
+    jac_a = (
+        _bjac(a, y.shape)
+        if a.jac is not None
+        else jnp.zeros((n, *y.shape), y.dtype)
+    )
+    jac_b = _bjac(b, y.shape)
+    jac = (jac_a - y * jac_b) * inv_b
+    lap = (
+        (_lap_of(a) - y * _lap_of(b)) * inv_b
+        - 2 * inv_b**2 * (jac_a * jac_b).sum(axis=0)
+        + 2 * y * inv_b**2 * (jac_b**2).sum(axis=0)
+    )
+    return [FL(y, jac, lap)]
+
+
+def _dot_general_rule(eqn, invals, n):
+    a, b = invals
+    params = eqn.params
+
+    def dot(x, y):
+        return lax.dot_general(
+            x,
+            y,
+            dimension_numbers=params['dimension_numbers'],
+            precision=params.get('precision'),
+            preferred_element_type=params.get('preferred_element_type'),
+        )
+
+    y = dot(a.x, b.x)
+    jac = 0
+    lap = 0
+    if a.jac is not None:
+        jac = jac + jax.vmap(lambda ja: dot(ja, b.x))(a.jac)
+        lap = lap + dot(_lap_of(a), b.x)
+    if b.jac is not None:
+        jac = jac + jax.vmap(lambda jb: dot(a.x, jb))(b.jac)
+        lap = lap + dot(a.x, _lap_of(b))
+    if a.jac is not None and b.jac is not None:
+        cross = jax.vmap(dot)(a.jac, b.jac).sum(axis=0)
+        lap = lap + 2 * cross
+    return [FL(y, jac, lap)]
+
+
+def _slogdet_rule(eqn, invals, n):
+    (v,) = invals
+    sign, logdet = slogdet_p.bind(v.x)
+    inv_a = jnp.linalg.inv(v.x)
+    # J log|det| = tr(A^-1 J_A)
+    jac = jnp.einsum('...ij,k...ji->k...', inv_a, v.jac)
+    m = jnp.einsum('...ij,k...jl->k...il', inv_a, v.jac)
+    lap = jnp.einsum('...ij,...ji->...', inv_a, _lap_of(v)) - jnp.einsum(
+        'k...ij,k...ji->...', m, m
+    )
+    return [_const(sign), FL(logdet, jac, lap)]
+
+
+def _stop_gradient_rule(eqn, invals, n):
+    (v,) = invals
+    return [_const(v.x)]
+
+
+# --- primitive classification ----------------------------------------------
+
+PIECEWISE_LINEAR_NAMES = {
+    'add',
+    'add_any',
+    'sub',
+    'neg',
+    'reduce_sum',
+    'cumsum',
+    'reshape',
+    'broadcast_in_dim',
+    'transpose',
+    'squeeze',
+    'expand_dims',
+    'slice',
+    'dynamic_slice',
+    'dynamic_update_slice',
+    'concatenate',
+    'split',
+    'pad',
+    'rev',
+    'gather',
+    'scatter',
+    'scatter-add',
+    'select_n',
+    'max',
+    'min',
+    'abs',
+    'reduce_max',
+    'reduce_min',
+    'real',
+    'copy',
+    'convert_element_type',
+}
+
+NONDIFF_NAMES = {
+    'eq',
+    'ne',
+    'ge',
+    'gt',
+    'le',
+    'lt',
+    'and',
+    'or',
+    'not',
+    'xor',
+    'is_finite',
+    'sign',
+    'floor',
+    'ceil',
+    'round',
+    'iota',
+    'argmax',
+    'argmin',
+    'reduce_and',
+    'reduce_or',
+    'shift_left',
+    'shift_right_logical',
+    'shift_right_arithmetic',
+    'rem',
+}
+
+SUBJAXPR_NAMES = {'pjit', 'closed_call', 'custom_jvp_call', 'custom_vjp_call',
+                  'custom_jvp_call_jaxpr', 'custom_vjp_call_jaxpr', 'remat',
+                  'checkpoint', 'jit'}
+
+
+def _find_subjaxpr(params):
+    for key in ('jaxpr', 'call_jaxpr', 'fun_jaxpr'):
+        if key in params:
+            return params[key]
+    raise KeyError(f'no sub-jaxpr found among params: {list(params)}')
+
+
+def _interpret(jaxpr, consts, args, n):
+    env = {}
+
+    def read(atom):
+        if isinstance(atom, jex_core.Literal):
+            return _const(atom.val)
+        return env[atom]
+
+    def write(var, val):
+        env[var] = val
+
+    for var, const in zip(jaxpr.constvars, consts):
+        write(var, _const(const))
+    for var, arg in zip(jaxpr.invars, args):
+        write(var, arg)
+
+    for eqn in jaxpr.eqns:
+        prim = eqn.primitive
+        invals = [read(x) for x in eqn.invars]
+        if all(v.jac is None for v in invals):
+            outs = prim.bind(*[v.x for v in invals], **eqn.params)
+            outs = outs if prim.multiple_results else [outs]
+            outs = [_const(o) for o in outs]
+        elif prim in RULES:
+            outs = RULES[prim](eqn, invals, n)
+        elif prim.name in RULES:
+            outs = RULES[prim.name](eqn, invals, n)
+        elif prim.name in SUBJAXPR_NAMES:
+            sub = _find_subjaxpr(eqn.params)
+            sub_jaxpr, sub_consts = (
+                (sub.jaxpr, sub.consts) if hasattr(sub, 'jaxpr') else (sub, [])
+            )
+            outs = _interpret(sub_jaxpr, [*map(jnp.asarray, sub_consts)], invals, n)
+        elif prim.name in PIECEWISE_LINEAR_NAMES:
+            outs = _linear_rule(eqn, invals, n)
+        elif prim.name in NONDIFF_NAMES:
+            outs = _nondiff_rule(eqn, invals, n)
+        elif prim.name in ELEMENTWISE:
+            outs = _elementwise_rule(prim.name)(eqn, invals, n)
+        else:
+            log.debug('fwdlap: generic rule for primitive %s', prim.name)
+            outs = _generic_rule(eqn, invals, n)
+        if not isinstance(outs, (list, tuple)):
+            outs = [outs]
+        for var, out in zip(eqn.outvars, outs):
+            write(var, out)
+
+    return [read(v) for v in jaxpr.outvars]
+
+
+RULES['mul'] = _mul_rule
+RULES['div'] = _div_rule
+RULES['dot_general'] = _dot_general_rule
+RULES['integer_pow'] = _integer_pow_rule
+RULES['stop_gradient'] = _stop_gradient_rule
+RULES[slogdet_p] = _slogdet_rule
+for _name in ELEMENTWISE:
+    RULES[_name] = _elementwise_rule(_name)
+
+
+def forward_laplacian(f):
+    """LaplacianFactory: returns ``x -> (lap f(x), grad f(x))``.
+
+    Drop-in replacement for :func:`deepqmc_tpu.physics.loop_laplacian`
+    (the reference's ``LaplacianFactory`` protocol, hamil.py:32-41).
+    """
+
+    def lap(x):
+        n = x.shape[0]
+        closed = jax.make_jaxpr(f)(x)
+        eye = jnp.eye(n, dtype=x.dtype)
+        args = [FL(x, eye, jnp.zeros_like(x))]
+        outs = _interpret(closed.jaxpr, closed.consts, args, n)
+        (out,) = outs
+        assert jnp.shape(out.x) == (), 'forward_laplacian expects a scalar fn'
+        return out.lap, out.jac
+
+    return lap

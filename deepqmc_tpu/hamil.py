@@ -72,8 +72,14 @@ class MolecularHamiltonian:
         ecp_type: Optional[str] = None,
         ecp_mask: Optional[list[bool]] = None,
         elec_std: float = 1.0,
-        laplacian_factory: LaplacianFactory = loop_laplacian,
+        laplacian_factory: Optional[LaplacianFactory] = None,
     ):
+        if laplacian_factory is None:
+            # TPU-first default: the single-pass forward Laplacian (the
+            # reference defaults to 3N nested-autodiff passes, physics.py:104)
+            from .fwdlap import forward_laplacian
+
+            laplacian_factory = forward_laplacian
         self.mol = mol
         self.elec_std = elec_std
         self.ecp_type = ecp_type

@@ -52,6 +52,9 @@ def maybe_init_multi_host():
         jax.distributed.initialize()
 
 
+_mesh_override: Optional[Mesh] = None
+
+
 @lru_cache(maxsize=None)
 def _default_mesh() -> Mesh:
     import numpy as np
@@ -65,7 +68,13 @@ def get_mesh(devices=None) -> Mesh:
         import numpy as np
 
         return Mesh(np.array(devices), (DATA_AXIS,))
-    return _default_mesh()
+    return _mesh_override or _default_mesh()
+
+
+def set_default_mesh(mesh: Optional[Mesh]):
+    """Override the global default mesh (e.g. to restrict to a device subset)."""
+    global _mesh_override
+    _mesh_override = mesh
 
 
 def walker_spec(ndim: int, walker_axis: int = 2) -> P:

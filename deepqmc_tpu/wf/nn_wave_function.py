@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import nn
+from ..ops import slogdet
 from ..physics import pairwise_diffs, pairwise_self_distance
 from ..types import Psi
 from ..utils import flatten, triu_flat
@@ -48,10 +49,14 @@ class BackflowOp(nn.Module):
 
 
 def eval_log_slater(xs: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """(sign, log|det|) of a batch of Slater matrices; empty -> (1, 0)."""
+    """(sign, log|det|) of a batch of Slater matrices; empty -> (1, 0).
+
+    Uses the framework's own slogdet primitive so the forward-Laplacian
+    engine can apply its analytic second-order rule.
+    """
     if xs.shape[-1] == 0:
         return jnp.ones(xs.shape[:-2]), jnp.zeros(xs.shape[:-2])
-    return jnp.linalg.slogdet(xs)
+    return slogdet(xs)
 
 
 class NeuralNetworkWaveFunction(nn.Module):

@@ -193,6 +193,19 @@ def _bjac(v: FL, out_shape):
     return jnp.broadcast_to(j, (j.shape[0], *out_shape))
 
 
+def _pow_rule(eqn, invals, n):
+    a, b = invals
+    if b.jac is not None:
+        return _generic_rule(eqn, invals, n)
+    y = lax.pow(a.x, b.x)
+    d1 = b.x * lax.pow(a.x, b.x - 1)
+    d2 = b.x * (b.x - 1) * lax.pow(a.x, b.x - 2)
+    jac_a = _bjac(a, y.shape)
+    jac = d1 * jac_a
+    lap = d1 * (_lap_of(a) + jnp.zeros_like(y)) + d2 * (jac_a**2).sum(axis=0)
+    return [FL(y, jac, lap)]
+
+
 def _mul_rule(eqn, invals, n):
     a, b = invals
     y = a.x * b.x
@@ -299,6 +312,7 @@ PIECEWISE_LINEAR_NAMES = {
     'split',
     'pad',
     'rev',
+    'tile',
     'gather',
     'scatter',
     'scatter-add',
@@ -404,6 +418,7 @@ def _interpret(jaxpr, consts, args, n):
 
 RULES['mul'] = _mul_rule
 RULES['div'] = _div_rule
+RULES['pow'] = _pow_rule
 RULES['dot_general'] = _dot_general_rule
 RULES['integer_pow'] = _integer_pow_rule
 RULES['stop_gradient'] = _stop_gradient_rule

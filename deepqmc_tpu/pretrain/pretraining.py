@@ -1,0 +1,98 @@
+"""Supervised pretraining of the ansatz orbitals to the SCF baseline.
+
+Reference: /root/reference/src/deepqmc/pretrain/pretraining.py.  The step
+(sampling + orbital MSE + optimizer update) is one fused jitted program; the
+reference dispatches a pmap per step.
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..parallel import rng_iterator
+from ..types import Ansatz
+from .pretraining_target import PretrainTarget
+
+__all__ = ['pretrain']
+
+
+def pretrain(  # noqa: C901
+    rng,
+    hamil,
+    ansatz: Ansatz,
+    params,
+    opt,
+    molecule_idx_sampler,
+    sampler,
+    smpl_state,
+    dataset,
+    *,
+    steps,
+):
+    """Generator yielding (step, params, per_sample_losses, mol_idxs)."""
+    target_fn = PretrainTarget(
+        hamil, None, dataset['centers'], dataset['shells'], dataset['mo_coeffs']
+    )
+    confs = dataset['confs']  # [n_mols, n_states, n_det, n_el]
+    conf_coeffs = dataset['conf_coeffs']
+
+    def loss_fn(params, phys_conf):
+        def state_target(state_idx, pc):
+            return jax.vmap(  # electron batch
+                partial(target_fn, confs[:, state_idx], conf_coeffs[:, state_idx])
+            )(pc)
+
+        target = jax.vmap(  # molecule batch
+            jax.vmap(state_target, (0, 0)),  # electronic states
+            (None, 0),
+        )(jnp.arange(phys_conf.batch_shape[1]), phys_conf)
+        orbs = jax.vmap(  # molecule batch
+            jax.vmap(  # electronic state
+                jax.vmap(ansatz.apply, (None, 0, None)),  # electron batch
+                (0, 0, None),
+            ),
+            (None, 0, None),
+        )(params, phys_conf, True)
+        *_, n_det, n_up, n_orb_up = orbs[0].shape
+        n_det_target = target.shape[-3]
+        target = jnp.tile(target, (math.ceil(n_det / n_det_target), 1, 1))[
+            ..., :n_det, :, :
+        ]
+        n_up = hamil.n_up
+        target = (target[..., :n_up, :n_up], target[..., n_up:, n_up:])
+        if n_orb_up != n_up:
+            # full determinants: off-diagonal blocks are pretrained to zero
+            pad0 = [(0, 0)] * (target[0].ndim - 1)
+            target = (
+                jnp.pad(target[0], pad0 + [(0, n_orb_up - n_up)]),
+                jnp.pad(target[1], pad0 + [(n_up, 0)]),
+            )
+        losses = jax.tree_util.tree_map(lambda o, t: (o - t) ** 2, orbs, target)
+        loss = sum(map(jnp.mean, losses))
+        per_sample_losses = sum(map(partial(jnp.mean, axis=(-3, -2, -1)), losses))
+        return loss, per_sample_losses
+
+    loss_and_grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    assert isinstance(opt, optax.GradientTransformation)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def pretrain_step(rng, params, smpl_state, opt_state, mol_idxs):
+        rng, rng_sample = jax.random.split(rng)
+        smpl_state, phys_conf, _ = sampler.sample(
+            rng_sample, smpl_state, params, mol_idxs
+        )
+        (_, per_sample_losses), grads = loss_and_grad_fn(params, phys_conf)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, smpl_state, opt_state, per_sample_losses
+
+    for step, rng_step in zip(steps, rng_iterator(rng)):
+        mol_idxs = molecule_idx_sampler.sample()
+        params, smpl_state, opt_state, per_sample_losses = pretrain_step(
+            rng_step, params, smpl_state, opt_state, mol_idxs
+        )
+        yield step, params, per_sample_losses, mol_idxs

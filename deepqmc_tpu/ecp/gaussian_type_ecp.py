@@ -1,0 +1,148 @@
+"""Gaussian-type semi-local effective core potentials.
+
+Reference: /root/reference/src/deepqmc/ecp/gaussian_type_ecp.py.  The local
+part is an effective Coulomb term plus Gaussian-damped r^-1 / r^0 / r^1
+classes; the nonlocal part projects onto angular momentum channels with a
+12-point icosahedral quadrature requiring 12 extra wave-function evaluations
+per (electron, nucleus) pair.  TPU notes: the per-electron loop is a
+``lax.scan`` with the 12-point quadrature batched through ``vmap`` (the
+reference uses nested ``fori_loop``s, trading ~10% speed for GPU memory —
+on TPU the batched form both fits and fuses).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy.special import legendre
+
+from ..physics import pairwise_distance
+from ..types import Energy, KeyArray, PhysicalConfiguration, WaveFunction
+from .data import get_ecp_params
+from .ecp_utils import (
+    get_quadrature_points,
+    get_unit_icosahedron_sph,
+    pad_list_of_3D_arrays_to_one_array,
+)
+
+__all__ = ['GaussianTypeECP']
+
+
+def parse_gaussian_type_ecp_params(charges, ecp_type, ecp_mask):
+    """Assemble dense, zero-padded per-atom ECP parameter arrays.
+
+    Returns (ns_valence [n_nuc], loc_params [n_nuc, 3, 2, n_terms],
+    nl_params [n_nuc, l_max+1, 2, n_terms]); the parameter source is the
+    registry/parser in :mod:`deepqmc_tpu.ecp.data` instead of pyscf.
+    """
+    ns_valence, loc_params, nl_params = [], [], []
+    max_loc_terms = 0
+    for i, z in enumerate(np.asarray(charges).astype(int)):
+        if ecp_mask[i]:
+            n_core, local, nonlocal_ = get_ecp_params(ecp_type, int(z))
+            max_loc_terms = max(max_loc_terms, *(len(c) for c in local), 1)
+            nl = (
+                jnp.array(nonlocal_).swapaxes(-1, -2)
+                if nonlocal_ and any(len(c) for c in nonlocal_)
+                else jnp.zeros((1, 2, 0))
+            )
+        else:
+            n_core, local, nl = 0, [[], [], []], jnp.zeros((1, 2, 0))
+        ns_valence.append(int(z) - n_core)
+        loc_params.append(local)
+        nl_params.append(nl)
+
+    padded_loc = []
+    for local in loc_params:
+        local = [cls + [[0.0, 0.0]] * (max_loc_terms - len(cls)) for cls in local]
+        padded_loc.append(jnp.swapaxes(jnp.array(local), -1, -2))
+    return (
+        jnp.asarray(ns_valence, dtype=float),
+        jnp.array(padded_loc),
+        pad_list_of_3D_arrays_to_one_array(nl_params),
+    )
+
+
+class GaussianTypeECP:
+    """Semi-local ECP: sum_l V_l(r) |lm><lm| with Gaussian radial functions."""
+
+    def __init__(
+        self, charges: jax.Array, ecp_type: Optional[str], ecp_mask: jax.Array
+    ):
+        self.ecp_mask = ecp_mask
+        self.ns_valence, self.loc_params, self.nl_params = (
+            parse_gaussian_type_ecp_params(charges, ecp_type, ecp_mask)
+        )
+        self.nuc_with_nl_pot = np.unique(np.nonzero(np.asarray(self.nl_params))[0])
+        thetas = get_unit_icosahedron_sph()[:, 0]
+        l_max_p1 = self.nl_params.shape[1]
+        # Legendre channel values at the quadrature polar angles [12, l_max+1]
+        self.legendre_values = jnp.stack(
+            [
+                jnp.polyval(jnp.asarray(legendre(l).coef), jnp.cos(thetas))
+                for l in range(l_max_p1)
+            ],
+            axis=-1,
+        )
+
+    def local_potential(self, phys_conf: PhysicalConfiguration) -> Energy:
+        dists = pairwise_distance(phys_conf.r, phys_conf.R)
+        effective_coulomb = -(self.ns_valence / dists).sum(axis=(-1, -2))
+        idxs = self.ecp_mask
+        r_en = dists[:, idxs]  # [n_elec, n_ecp_nuc]
+        loc = self.loc_params[idxs]  # [n_ecp_nuc, 3, 2, n_terms]
+        alpha, beta = loc[:, :, 0], loc[:, :, 1]  # [n_ecp_nuc, 3, n_terms]
+        gauss = jnp.exp(
+            -alpha[None] * (r_en**2)[:, :, None, None]
+        )  # [n_elec, n_nuc, 3, n_terms]
+        radial = jnp.stack(
+            [1 / r_en, jnp.ones_like(r_en), r_en], axis=-1
+        )  # [n_elec, n_nuc, 3]
+        terms = beta[None] * gauss * radial[..., None]
+        return effective_coulomb + terms.sum()
+
+    def nonloc_potential(
+        self,
+        rng: Optional[KeyArray],
+        phys_conf: PhysicalConfiguration,
+        wf: WaveFunction,
+    ) -> Energy:
+        """12-point quadrature estimate of the semilocal projection energy."""
+        if len(self.nuc_with_nl_pot) == 0:
+            return jnp.array(0.0)
+        assert rng is not None
+        den_sign, den_log = wf(phys_conf)
+        n_elec = len(phys_conf)
+        l_max_p1 = self.nl_params.shape[1]
+        channel_weights = (2 * jnp.arange(l_max_p1) + 1) / 12
+
+        total = jnp.array(0.0)
+        for k, nucleus_index in enumerate(self.nuc_with_nl_pot):
+            nl = self.nl_params[nucleus_index]  # [l_max+1, 2, n_terms]
+            rng_nuc = jax.random.fold_in(rng, k)
+            quad_pc = get_quadrature_points(
+                rng_nuc, phys_conf.R[nucleus_index], phys_conf
+            )  # [n_elec, 12, ...]
+            dists = pairwise_distance(
+                phys_conf.r, phys_conf.R[nucleus_index, None]
+            )[..., 0]  # [n_elec]
+            # radial channel strengths V_l(r_i): [n_elec, l_max+1]
+            v_l = (
+                nl[None, :, 1, :]
+                * jnp.exp(-nl[None, :, 0, :] * (dists**2)[:, None, None])
+            ).sum(axis=-1)
+
+            def one_electron(carry, inputs):
+                pc_i, v_l_i = inputs
+                sign, log = jax.vmap(wf)(pc_i)  # 12 quadrature configs
+                ratio = den_sign * sign * jnp.exp(log - den_log)  # [12]
+                # project onto Legendre channels and weight by (2l+1)/12
+                proj = (ratio[:, None] * self.legendre_values).sum(axis=0)
+                return carry + (v_l_i * channel_weights * proj).sum(), None
+
+            contrib, _ = jax.lax.scan(
+                one_electron, jnp.array(0.0), (quad_pc, v_l), length=n_elec
+            )
+            total = total + contrib
+        return total

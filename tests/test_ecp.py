@@ -1,0 +1,131 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.special import legendre
+
+from deepqmc_tpu.ecp import parse_gamess_ecp, register_ecp_params
+from deepqmc_tpu.ecp.ecp_utils import get_unit_icosahedron_sph, sph2cart
+from deepqmc_tpu.ecp.gaussian_type_ecp import GaussianTypeECP
+from deepqmc_tpu.hamil import MolecularHamiltonian
+from deepqmc_tpu.molecule import Molecule
+from deepqmc_tpu.types import PhysicalConfiguration, Psi
+
+# synthetic but realistically-shaped parameters for Li (He core, Z_eff = 1)
+LI_LOCAL = [
+    [[3.5, 1.2]],  # r^-1 class: beta * exp(-alpha r^2) / r
+    [[2.8, 6.5]],  # r^0 class
+    [[2.0, -1.1]],  # r^1 class
+]
+LI_NONLOCAL = [[[2.2, 3.0]]]  # l = 0 channel
+
+register_ecp_params('testecp', 3, 2, LI_LOCAL, LI_NONLOCAL)
+
+
+@pytest.fixture(scope='module')
+def lih_ecp_hamil():
+    mol = Molecule.from_name('LiH')
+    return MolecularHamiltonian(mol=mol, ecp_type='testecp', ecp_mask=[True, False])
+
+
+def test_valence_counting(lih_ecp_hamil):
+    h = lih_ecp_hamil
+    assert np.allclose(h.ns_valence, [1.0, 1.0])
+    assert (h.n_up, h.n_down) == (1, 1)
+
+
+def test_icosahedron_quadrature_exactness():
+    """The 12-point quadrature must integrate P_l exactly for l = 1..5."""
+    thetas = np.asarray(get_unit_icosahedron_sph())[:, 0]
+    for l in range(6):
+        val = np.mean(np.polyval(legendre(l).coef, np.cos(thetas)))
+        assert val == pytest.approx(1.0 if l == 0 else 0.0, abs=1e-12)
+    # vertices lie on the unit sphere
+    verts = np.asarray(sph2cart(get_unit_icosahedron_sph()))
+    assert np.allclose(np.linalg.norm(verts, axis=-1), 1.0)
+
+
+def test_local_potential_value(lih_ecp_hamil):
+    h = lih_ecp_hamil
+    rng = jax.random.PRNGKey(0)
+    pc = h.init_sample(rng, h.mol.coords, 1)[0]
+    v = float(h.potential.local_potential(pc))
+    # manual computation
+    r = np.asarray(pc.r)
+    R = np.asarray(pc.R)
+    d = np.linalg.norm(r[:, None] - R[None], axis=-1)
+    expected = -(1.0 / d[:, 0] + 1.0 / d[:, 1]).sum()
+    (a1, b1), (a2, b2), (a3, b3) = (cls[0] for cls in LI_LOCAL)
+    dli = d[:, 0]
+    expected += (
+        b1 * np.exp(-a1 * dli**2) / dli
+        + b2 * np.exp(-a2 * dli**2)
+        + b3 * dli * np.exp(-a3 * dli**2)
+    ).sum()
+    assert v == pytest.approx(expected, rel=1e-6)
+
+
+def test_nonlocal_potential_s_wave(lih_ecp_hamil):
+    """For a spherically symmetric wf the projection reduces to sum_i V_0(r_i)."""
+    h = lih_ecp_hamil
+    rng = jax.random.PRNGKey(1)
+    pc = h.init_sample(rng, h.mol.coords, 1)[0]
+
+    def wf(phys_conf):
+        d = jnp.linalg.norm(phys_conf.r - phys_conf.R[0], axis=-1)
+        return Psi(jnp.array(1.0), -0.5 * (d**2).sum())
+
+    v_nl = float(h.potential.nonloc_potential(jax.random.PRNGKey(2), pc, wf))
+    d = np.linalg.norm(np.asarray(pc.r) - np.asarray(pc.R)[0], axis=-1)
+    a, b = LI_NONLOCAL[0][0]
+    expected = (b * np.exp(-a * d**2)).sum()
+    assert v_nl == pytest.approx(expected, rel=1e-6)
+
+
+def test_nonlocal_zero_for_orthogonal_channel(lih_ecp_hamil):
+    """A pure p-like angular factor has zero overlap with the l=0 projector."""
+    h = lih_ecp_hamil
+    pc = PhysicalConfiguration(
+        h.mol.coords,
+        jnp.array([[0.5, 0.3, 0.8], [2.5, -0.3, 0.2]]),
+        jnp.array(0),
+    )
+
+    def wf(phys_conf):
+        rel = phys_conf.r - phys_conf.R[0]
+        d = jnp.linalg.norm(rel, axis=-1)
+        # psi = prod_i (z_i / r_i) * exp(-r_i^2 / 2): odd (l=1) about nucleus 0
+        val = jnp.prod(rel[:, 2] / d) * jnp.exp(-0.5 * (d**2).sum())
+        return Psi(jnp.sign(val), jnp.log(jnp.abs(val)))
+
+    v_nl = float(h.potential.nonloc_potential(jax.random.PRNGKey(3), pc, wf))
+    assert v_nl == pytest.approx(0.0, abs=1e-10)
+
+
+def test_local_energy_with_ecp(lih_ecp_hamil):
+    h = lih_ecp_hamil
+
+    def wf(params, phys_conf):
+        return Psi(jnp.array(1.0), -0.4 * (phys_conf.r**2).sum())
+
+    pc = h.init_sample(jax.random.PRNGKey(4), h.mol.coords, 1)[0]
+    e, stats = h.local_energy(wf)(jax.random.PRNGKey(5), {}, pc)
+    assert np.isfinite(float(e))
+    assert float(jnp.abs(stats['hamil/V_nl'])) > 0
+
+
+def test_gamess_parser():
+    text = """Li-ECP GEN 2 1
+3
+1.00000000 1 3.50000000
+6.50000000 2 2.80000000
+-1.10000000 3 2.00000000
+1
+3.00000000 2 2.20000000
+"""
+    sym, n_core, local, nonlocal_ = parse_gamess_ecp(text)
+    assert sym == 'Li' and n_core == 2
+    assert local[0] == [[3.5, 1.0]]
+    assert local[1] == [[2.8, 6.5]]
+    assert local[2] == [[2.0, -1.1]]
+    assert nonlocal_ == [[[2.2, 3.0]]]

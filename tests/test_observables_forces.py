@@ -1,0 +1,100 @@
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepqmc_tpu.force import (
+    evaluate_hf_force_ac_zv,
+    evaluate_hf_force_ac_zvq,
+    evaluate_hf_force_ac_zvzb,
+    evaluate_hf_force_ac_zvzbq,
+    evaluate_hf_force_bare,
+)
+from deepqmc_tpu.oscillator_strength import compute_oscillator_strength
+from deepqmc_tpu.types import Psi
+
+
+def simple_wf(alpha=0.6):
+    def wf(params, phys_conf):
+        d = jnp.linalg.norm(
+            phys_conf.r[:, None] - phys_conf.R[None], axis=-1
+        )
+        return Psi(jnp.array(1.0), -alpha * d.min(-1).sum())
+
+    return wf
+
+
+@pytest.fixture(scope='module')
+def h2_setup(helpers):
+    hamil = helpers.hamil(mol=helpers.mol('H2'))
+    pc = helpers.phys_conf(hamil)
+    return hamil, pc
+
+
+def test_bare_force_analytic(h2_setup):
+    hamil, pc = h2_setup
+    f = evaluate_hf_force_bare(hamil)({}, pc)
+    assert f.shape == (2, 3)
+    # manual: nuclear-nuclear repulsion + electron attraction
+    R, r = np.asarray(pc.R), np.asarray(pc.r)
+    d01 = R[0] - R[1]
+    f_nn = d01 / np.linalg.norm(d01) ** 3
+    d_e = R[0] - r
+    f_en = -(d_e / np.linalg.norm(d_e, axis=-1, keepdims=True) ** 3).sum(0)
+    assert np.allclose(f[0], f_nn + f_en, rtol=1e-6)
+
+
+def test_force_estimators_finite(h2_setup):
+    hamil, pc = h2_setup
+    wf = simple_wf()
+    e_loc, _ = hamil.local_energy(wf)(None, {}, pc)
+    energy = e_loc
+    for est in (
+        evaluate_hf_force_ac_zv(hamil, wf),
+        evaluate_hf_force_ac_zvq(hamil, wf),
+    ):
+        f = est({}, pc)
+        assert f.shape == (2, 3)
+        assert np.isfinite(np.asarray(f)).all()
+    for est in (
+        evaluate_hf_force_ac_zvzb(hamil, wf),
+        evaluate_hf_force_ac_zvzbq(hamil, wf),
+    ):
+        f = est({}, pc, e_loc, energy)
+        assert f.shape == (2, 3)
+        assert np.isfinite(np.asarray(f)).all()
+
+
+def test_oscillator_strength_shapes(helpers):
+    rng = np.random.default_rng(0)
+    n_states, n = 3, 200
+    e = jnp.asarray(rng.normal(size=(n_states, n)) - np.arange(n_states)[:, None])
+    ratios = jnp.asarray(rng.normal(size=(n_states, n_states, n)) * 0.1)
+    rs = jnp.asarray(rng.normal(size=(n_states, n, 4, 3)))
+    (os_mean, os_err), (tdm, tdm_err), (ex, ex_err) = compute_oscillator_strength(
+        e, ratios, rs
+    )
+    assert os_mean.shape == (n_states, n_states)
+    assert np.isfinite(np.asarray(os_mean)).all()
+    # excitation energies antisymmetric
+    assert np.allclose(np.asarray(ex), -np.asarray(ex).T, atol=1e-6)
+
+
+def test_postprocess_roundtrip(tmp_path):
+    import h5py
+
+    from deepqmc_tpu.postprocess import read_and_convert_result, read_workdir
+
+    sub = tmp_path / 'training'
+    sub.mkdir()
+    with h5py.File(sub / 'result.h5', 'w') as f:
+        f['local_energy/samples'] = np.arange(24.0).reshape(6, 1, 4)
+        f['mol_idxs'] = np.tile(np.arange(2), 3).reshape(6, 1)
+    (sub / 'chkpt-5.pt').write_bytes(b'x')
+    results, last_iter = read_workdir(tmp_path, ['local_energy/samples', 'mol_idxs'])
+    assert last_iter == 5
+    assert results['local_energy/samples'].shape == (6, 1, 4)
+    per_mol = read_and_convert_result(tmp_path, 'local_energy/samples')
+    assert per_mol['local_energy/samples'].shape == (3, 2, 4)

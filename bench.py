@@ -30,6 +30,7 @@ def main():
     p.add_argument('--mol', default='H2O')
     p.add_argument('--ansatz', default='psiformer')
     p.add_argument('--decorr', type=int, default=10)
+    p.add_argument('--block', type=int, default=5, help='steps per jitted block')
     p.add_argument('--optimizer', default='kfac', choices=['kfac', 'adam', 'none'])
     args = p.parse_args()
 
@@ -99,8 +100,9 @@ def main():
     else:
         opt_factory = NoOptimizer
 
-    times = []
-    last = None
+    block = max(1, args.block)
+    t_ref = None
+    n_counted = 0
     for step, *_rest in fit_wf(
         jax.random.PRNGKey(3),
         hamil,
@@ -108,17 +110,17 @@ def main():
         opt_factory,
         mol_idx_sampler,
         sampler,
-        range(n_steps + 2),
+        range(n_steps + block),
         TrainState(smpl_state, params, None),
         partial(create_loss_fn, clip_mask_fn=median_log_squeeze_and_mask),
         [m.finalize(hamil, ansatz.apply) for m in default_observable_monitors()],
+        block_size=block,
     ):
-        now = time.perf_counter()
-        if last is not None and step >= 2:  # skip compile + first step
-            times.append(now - last)
-        last = now
-
-    step_time = float(np.median(times))
+        if step == block - 1:  # first (compile) block done
+            t_ref = time.perf_counter()
+        elif step >= block:
+            n_counted += 1
+    step_time = (time.perf_counter() - t_ref) / max(n_counted, 1)
     n_chips = len(jax.devices())
     value = walkers / step_time / n_chips
     print(

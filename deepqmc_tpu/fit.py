@@ -1,12 +1,19 @@
-"""The per-step training loop: ONE fused jitted step.
+"""The per-step training loop: ONE fused jitted step, optionally scanned.
 
 Reference: /root/reference/src/deepqmc/fit.py.  The reference dispatches at
 least four separate pmap programs per step (sample, weight normalization,
 optimizer step, sampler refresh; fit.py:46-92) plus one per observable
 monitor — each a host-device round trip.  Here sampling, weighting, the
-optimizer step (including KFAC curvature updates), and the sampler psi-cache
-refresh compile into a single ``jax.jit`` program over the device mesh, with
-walkers sharded on the 'data' axis and parameters replicated.
+optimizer step (including KFAC curvature updates), the sampler psi-cache
+refresh AND the EWM energy estimator compile into a single ``jax.jit``
+program over the device mesh, with walkers sharded on the 'data' axis and
+parameters replicated.
+
+``block_size > 1`` additionally wraps ``block_size`` optimization steps in a
+``lax.scan``, so the host only synchronizes once per block — essential when
+host-device latency is high.  Inside a block the built-in energy /
+wave-function statistics are recorded every step; additional observable
+monitors run on the last step of each block.
 """
 
 from collections.abc import Generator, Iterable
@@ -14,6 +21,7 @@ from typing import Type
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .ewm import init_multi_mol_multi_state_ewm
 from .loss import LossFunctionFactory
@@ -37,6 +45,7 @@ def fit_wf(  # noqa: C901
     train_state: TrainState,
     loss_function_factory: LossFunctionFactory,
     observable_monitors: list[ObservableMonitor],
+    block_size: int = 1,
 ) -> Generator[tuple[int, TrainState, jax.Array, Stats, dict], None, None]:
     loss_fn = loss_function_factory(hamil, ansatz)
     loss_and_grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -44,36 +53,15 @@ def fit_wf(  # noqa: C901
     if hasattr(opt, 'bind_ansatz'):
         opt.bind_ansatz(ansatz)
     is_evaluation = isinstance(opt, NoOptimizer)
+    # energy and wave-function statistics are fused into the jitted step;
+    # only genuinely extra monitors run at block boundaries
+    from .observable import EnergyMonitor, WaveFunctionMonitor
 
-    @jax.jit
-    def train_step(rng, data, mol_idxs, train_state: TrainState):
-        smpl_state, params, opt_state = train_state
-        rng_sample, rng_loss = jax.random.split(rng)
-        data = jax.tree_util.tree_map(lambda x: x[mol_idxs], data)
-        smpl_state, phys_conf, smpl_stats = sampler.sample(
-            rng_sample, smpl_state, params, mol_idxs
-        )
-        if 'log_weight' in smpl_state['elec']:
-            # resampled samplers carry per-walker importance weights
-            # (normalized per molecule/state over the walker axis)
-            weight = pexp_normalize_mean(
-                smpl_state['elec']['log_weight'][mol_idxs], axis=-1
-            )
-        else:
-            weight = jnp.ones(phys_conf.batch_shape)
-        params, opt_state, E_loc, ratios, stats = opt.step(
-            rng_loss, params, opt_state, (phys_conf, weight, data)
-        )
-        if not is_evaluation:
-            # parameters changed: refresh the sampler's cached psi values
-            smpl_state = sampler.update(smpl_state, params)
-        return (
-            TrainState(smpl_state, params, opt_state),
-            phys_conf,
-            E_loc,
-            ratios,
-            {**stats, **smpl_stats},
-        )
+    observable_monitors = [
+        m
+        for m in observable_monitors
+        if not isinstance(m, (EnergyMonitor, WaveFunctionMonitor))
+    ]
 
     smpl_state, params, opt_state = train_state
     n_states = smpl_state['elec']['r'].shape[1]
@@ -83,11 +71,68 @@ def fit_wf(  # noqa: C901
     std_ewm_state, _ = init_multi_mol_multi_state_ewm(
         shape=(molecule_idx_sampler.n_mols, n_states)
     )
-    data = {'energy_ewm': ewm_state.mean, 'std_ewm': std_ewm_state.mean}
+
+    def step_body(carry, inputs):
+        train_state, ewm_state, std_ewm_state = carry
+        rng_step, mol_idxs = inputs
+        smpl_state, params, opt_state = train_state
+        rng_sample, rng_loss = jax.random.split(rng_step)
+        data = {'energy_ewm': ewm_state.mean, 'std_ewm': std_ewm_state.mean}
+        data_it = jax.tree_util.tree_map(lambda x: x[mol_idxs], data)
+        smpl_state, phys_conf, smpl_stats = sampler.sample(
+            rng_sample, smpl_state, params, mol_idxs
+        )
+        if 'log_weight' in smpl_state['elec']:
+            # resampled samplers carry per-walker importance weights
+            weight = pexp_normalize_mean(
+                smpl_state['elec']['log_weight'][mol_idxs], axis=-1
+            )
+        else:
+            weight = jnp.ones(phys_conf.batch_shape)
+        params, opt_state, E_loc, ratios, stats = opt.step(
+            rng_loss, params, opt_state, (phys_conf, weight, data_it)
+        )
+        if not is_evaluation:
+            # parameters changed: refresh the sampler's cached psi values
+            smpl_state = sampler.update(smpl_state, params)
+        # built-in energy & wave-function monitors, fused into the step
+        psi = smpl_state['elec']['psi']
+        stats = {
+            **stats,
+            **smpl_stats,
+            'local_energy/mean': E_loc.mean(-1),
+            'local_energy/std': E_loc.std(-1),
+            'local_energy/min': E_loc.min(-1),
+            'local_energy/max': E_loc.max(-1),
+        }
+        ewm_state = update_ewm(stats['local_energy/mean'], ewm_state, mol_idxs)
+        std_ewm_state = update_ewm(stats['local_energy/std'], std_ewm_state, mol_idxs)
+        stats |= {
+            'energy/ewm': ewm_state.mean[mol_idxs],
+            'energy/ewm_error': jnp.sqrt(ewm_state.sqerr[mol_idxs]),
+            'energy/std_ewm': std_ewm_state.mean[mol_idxs],
+        }
+        outputs = {
+            'stats': stats,
+            'E_loc': E_loc,
+            'ratios': ratios if ratios is not None else jnp.zeros(()),
+            'psi_log': psi.log,
+            'psi_sign': psi.sign,
+        }
+        heavy = {'phys_conf': phys_conf}
+        return (
+            (TrainState(smpl_state, params, opt_state), ewm_state, std_ewm_state),
+            (outputs, heavy),
+        )
+
+    @jax.jit
+    def train_block(rngs, mol_idxs_block, carry):
+        return jax.lax.scan(step_body, carry, (rngs, mol_idxs_block))
 
     if opt_state is None:
         rng, rng_sample, rng_opt = jax.random.split(rng, 3)
         mol_idxs = molecule_idx_sampler.sample()
+        data = {'energy_ewm': ewm_state.mean, 'std_ewm': std_ewm_state.mean}
         data_it = jax.tree_util.tree_map(lambda x: x[mol_idxs], data)
         _, init_phys_conf, _ = jax.jit(sampler.sample)(
             rng_sample, smpl_state, params, mol_idxs
@@ -97,35 +142,62 @@ def fit_wf(  # noqa: C901
             params,
             (init_phys_conf, jnp.ones(init_phys_conf.batch_shape), data_it),
         )
-    train_state = TrainState(smpl_state, params, opt_state)
+    carry = (TrainState(smpl_state, params, opt_state), ewm_state, std_ewm_state)
 
-    for step, rng_step in zip(steps, rng_iterator(rng)):
-        mol_idxs = molecule_idx_sampler.sample()
-        train_state, phys_conf, E_loc, ratios, stats = train_step(
-            rng_step, data, mol_idxs, train_state
+    steps_iter = iter(steps)
+    rngs_iter = rng_iterator(rng)
+    done = False
+    while not done:
+        block_steps = []
+        for _ in range(block_size):
+            try:
+                block_steps.append(next(steps_iter))
+            except StopIteration:
+                done = True
+                break
+        if not block_steps:
+            break
+        k = len(block_steps)
+        rngs = jnp.stack([next(rngs_iter) for _ in range(k)])
+        mol_idxs_block = jnp.stack(
+            [molecule_idx_sampler.sample() for _ in range(k)]
         )
-        for monitor in observable_monitors:
-            stats |= monitor(
-                step,
-                train_state.params,
-                phys_conf,
-                train_state.sampler['elec']['psi'],
-                E_loc,
-                ratios,
-            )
-        observable_samples, stats = split_dict(stats, lambda k: 'samples' in k)
-        stats = jax.device_get(stats)
-
-        ewm_state = update_ewm(
-            jnp.asarray(stats['local_energy/mean']), ewm_state, mol_idxs
-        )
-        std_ewm_state = update_ewm(
-            jnp.asarray(stats['local_energy/std']), std_ewm_state, mol_idxs
-        )
-        data = {'energy_ewm': ewm_state.mean, 'std_ewm': std_ewm_state.mean}
-        stats |= {
-            'energy/ewm': ewm_state.mean[mol_idxs],
-            'energy/ewm_error': jnp.sqrt(ewm_state.sqerr[mol_idxs]),
-            'energy/std_ewm': std_ewm_state.mean[mol_idxs],
-        }
-        yield step, train_state, mol_idxs, stats, observable_samples
+        carry, (outputs, heavy) = train_block(rngs, mol_idxs_block, carry)
+        train_state = carry[0]
+        # the heavy per-step phys_confs stay on device; only the last step's
+        # configuration feeds the periodic monitors
+        outputs = jax.device_get(outputs)
+        for b, step in enumerate(block_steps):
+            stats = {key: v[b] for key, v in outputs['stats'].items()}
+            mol_idxs = mol_idxs_block[b]
+            observable_samples = {
+                'local_energy/samples': outputs['E_loc'][b],
+                'psi/samples': {
+                    'sign': outputs['psi_sign'][b],
+                    'log': outputs['psi_log'][b],
+                },
+            }
+            if b == k - 1 and observable_monitors:
+                last_phys_conf = jax.tree_util.tree_map(
+                    lambda x: x[b], heavy['phys_conf']
+                )
+                ratios = (
+                    None
+                    if np.ndim(outputs['ratios']) == 1
+                    else jnp.asarray(outputs['ratios'][b])
+                )
+                for monitor in observable_monitors:
+                    extra = monitor(
+                        step,
+                        train_state.params,
+                        last_phys_conf,
+                        train_state.sampler['elec']['psi'],
+                        jnp.asarray(outputs['E_loc'][b]),
+                        ratios,
+                    )
+                    extra_samples, extra_stats = split_dict(
+                        extra, lambda key: 'samples' in key
+                    )
+                    stats |= jax.device_get(extra_stats)
+                    observable_samples |= jax.device_get(extra_samples)
+            yield step, train_state, mol_idxs, stats, observable_samples

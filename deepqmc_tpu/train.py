@@ -78,6 +78,7 @@ def train(  # noqa: C901
     merge_keys: Optional[list[str]] = None,
     loss_function_factory: Optional[LossFunctionFactory] = None,
     observable_monitors: Optional[list[ObservableMonitor]] = None,
+    fit_block_size: int = 1,
 ):
     """Train or evaluate a wave-function model (reference train.py:44-367).
 
@@ -257,6 +258,7 @@ def train(  # noqa: C901
                         monitor.finalize(hamil, ansatz.apply)
                         for monitor in observable_monitors
                     ],
+                    block_size=fit_block_size,
                 ):
                     ewm_energies, best_ene = update_progress(
                         pbar, best_ene, ewm_energies, mol_idxs, stats

@@ -137,3 +137,41 @@ def test_evaluation_mode(h2_setup):
         max_eq_steps=5,
     )
     assert train_state.opt is None
+
+
+def test_block_scanned_training(h2_setup, helpers):
+    """block_size > 1 scans steps inside one jit and yields identical API."""
+    from deepqmc_tpu.fit import fit_wf
+    from deepqmc_tpu.loss import create_loss_fn, median_log_squeeze_and_mask
+    from deepqmc_tpu.observable import default_observable_monitors
+    from deepqmc_tpu.sampling import initialize_sampler_state
+    from deepqmc_tpu.wf import init_wf_params
+
+    hamil, ansatz = h2_setup
+    mols = [hamil.mol]
+    mol_idx_sampler, sampler = make_sampler_factory()(
+        helpers.rng(0), hamil, ansatz, mols, 1, 1
+    )
+    params = init_wf_params(helpers.rng(1), hamil, ansatz, 1)
+    smpl_state = initialize_sampler_state(
+        helpers.rng(2), sampler, params, 64, mols
+    )
+    seen = []
+    for step, ts, mol_idxs, stats, obs in fit_wf(
+        helpers.rng(3),
+        hamil,
+        ansatz,
+        partial(OptaxOptimizer, optax_opt=optax.adam(5e-3)),
+        mol_idx_sampler,
+        sampler,
+        range(7),  # not a multiple of the block size
+        TrainState(smpl_state, params, None),
+        partial(create_loss_fn, clip_mask_fn=median_log_squeeze_and_mask),
+        [m.finalize(hamil, ansatz.apply) for m in default_observable_monitors()],
+        block_size=3,
+    ):
+        seen.append(step)
+        assert np.isfinite(np.asarray(stats['local_energy/mean'])).all()
+        assert np.isfinite(np.asarray(obs['psi/samples']['log'])).all()
+        assert np.isfinite(np.asarray(stats['energy/ewm'])).any() or step == 0
+    assert seen == list(range(7))

@@ -183,6 +183,12 @@ def cli(argv: Optional[list[str]] = None):
     for arg in argv:
         if arg.startswith('--workdir='):
             workdir = arg.split('=', 1)[1]
+        elif arg.startswith('--platform='):
+            # sitecustomize may pre-import jax with another platform; the
+            # config route still switches backends reliably
+            import jax
+
+            jax.config.update('jax_platforms', arg.split('=', 1)[1])
         elif arg in ('-h', '--help'):
             print(__doc__)
             print('Override syntax: key.sub=value, group=option, +new.key=value')

@@ -125,9 +125,39 @@ def fit_wf(  # noqa: C901
             (outputs, heavy),
         )
 
+    def _pack(stats):
+        """Concatenate all stats leaves into one array (one host fetch)."""
+        layout = [
+            (key, jnp.shape(stats[key])[1:]) for key in sorted(stats)
+        ]  # [k, ...] per leaf; static layout
+        flat = jnp.concatenate(
+            [stats[key].reshape(stats[key].shape[0], -1) for key, _ in layout],
+            axis=1,
+        )
+        return layout, flat
+
+    def _unpack(layout, flat_row):
+        out = {}
+        offset = 0
+        for key, shape in layout:
+            size = int(np.prod(shape, dtype=int))
+            out[key] = np.asarray(flat_row[offset : offset + size]).reshape(shape)
+            offset += size
+        return out
+
+    layout_box: dict = {}
+
     @jax.jit
     def train_block(rngs, mol_idxs_block, carry):
-        return jax.lax.scan(step_body, carry, (rngs, mol_idxs_block))
+        carry, (outputs, heavy) = jax.lax.scan(
+            step_body, carry, (rngs, mol_idxs_block)
+        )
+        stats = outputs.pop('stats')
+        layout, outputs['stats_flat'] = _pack(
+            {k: jnp.asarray(v, jnp.float32) for k, v in stats.items()}
+        )
+        layout_box['layout'] = layout  # static metadata, set at trace time
+        return carry, (outputs, heavy)
 
     if opt_state is None:
         rng, rng_sample, rng_opt = jax.random.split(rng, 3)
@@ -168,7 +198,7 @@ def fit_wf(  # noqa: C901
         # configuration feeds the periodic monitors
         outputs = jax.device_get(outputs)
         for b, step in enumerate(block_steps):
-            stats = {key: v[b] for key, v in outputs['stats'].items()}
+            stats = _unpack(layout_box['layout'], outputs['stats_flat'][b])
             mol_idxs = mol_idxs_block[b]
             observable_samples = {
                 'local_energy/samples': outputs['E_loc'][b],

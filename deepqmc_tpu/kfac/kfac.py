@@ -251,10 +251,11 @@ class KFAC:
             )
 
         # --- refresh damped inverses (bias-corrected factors) ---
+        # small per-layer matrices are latency-bound on TPU: batch the
+        # inversions by matrix size with one Cholesky solve per group
         def compute_inverses():
-            inverses = []
+            damped = []  # (state, path, matrix, which) entries
             for s in range(len(params_list)):
-                inv_s = {}
                 for m in metas:
                     A, G = factors[s][m.path]
                     A = A / new_weight
@@ -269,9 +270,29 @@ class KFAC:
                     )
                     A_damp = A + (pi * jnp.sqrt(lam) + 1e-12) * jnp.eye(dim_a)
                     G_damp = G + (jnp.sqrt(lam) / pi + 1e-12) * jnp.eye(dim_g)
-                    inv_s[m.path] = (jnp.linalg.inv(A_damp), jnp.linalg.inv(G_damp))
-                inverses.append(inv_s)
-            return inverses
+                    damped.append((s, m.path, A_damp, 0))
+                    damped.append((s, m.path, G_damp, 1))
+            by_dim: dict = {}
+            for entry in damped:
+                by_dim.setdefault(entry[2].shape[0], []).append(entry)
+            results: dict = {}
+            for dim, entries in by_dim.items():
+                stacked = jnp.stack([e[2] for e in entries])
+                chol = jnp.linalg.cholesky(stacked)
+                eye = jnp.broadcast_to(jnp.eye(dim), stacked.shape)
+                invs = jax.scipy.linalg.cho_solve((chol, True), eye)
+                for e, inv in zip(entries, invs):
+                    results[(e[0], e[1], e[3])] = inv
+            return [
+                {
+                    m.path: (
+                        results[(s, m.path, 0)],
+                        results[(s, m.path, 1)],
+                    )
+                    for m in metas
+                }
+                for s in range(len(params_list))
+            ]
 
         if self.inverse_update_period == 1:
             inverses = compute_inverses()

@@ -26,6 +26,7 @@ def main():
             '+task.max_eq_steps=5',
             'task.pretrain_steps=null',
             'task/opt=adamw',
+            '--platform=cpu',
             'ansatz.n_determinants=2',
             'ansatz.omni_factory.embedding_dim=16',
             'ansatz.omni_factory.gnn_factory.n_interactions=1',
@@ -39,6 +40,7 @@ def main():
         eval_cmd = [
             sys.executable, '-m', 'deepqmc_tpu',
             'task=evaluate',
+            '--platform=cpu',
             f'task.restdir={workdir}/training',
             f'--workdir={workdir}_eval',
         ]

@@ -101,6 +101,9 @@ def main():
         opt_factory = NoOptimizer
 
     block = max(1, args.block)
+    # skip two blocks before timing: the first compiles, the second typically
+    # recompiles once more as output shardings replace the host-built carry
+    warmup_steps = 2 * block
     t_ref = None
     n_counted = 0
     for step, *_rest in fit_wf(
@@ -110,15 +113,15 @@ def main():
         opt_factory,
         mol_idx_sampler,
         sampler,
-        range(n_steps + block),
+        range(n_steps + warmup_steps),
         TrainState(smpl_state, params, None),
         partial(create_loss_fn, clip_mask_fn=median_log_squeeze_and_mask),
         [m.finalize(hamil, ansatz.apply) for m in default_observable_monitors()],
         block_size=block,
     ):
-        if step == block - 1:  # first (compile) block done
+        if step == warmup_steps - 1:
             t_ref = time.perf_counter()
-        elif step >= block:
+        elif step >= warmup_steps:
             n_counted += 1
     step_time = (time.perf_counter() - t_ref) / max(n_counted, 1)
     n_chips = len(jax.devices())

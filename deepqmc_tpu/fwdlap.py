@@ -274,9 +274,11 @@ def _dot_general_rule(eqn, invals, n):
 
 
 def _slogdet_rule(eqn, invals, n):
+    from .ops.slogdet import _inv
+
     (v,) = invals
     sign, logdet = slogdet_p.bind(v.x)
-    inv_a = jnp.linalg.inv(v.x)
+    inv_a = _inv(v.x)
     # J log|det| = tr(A^-1 J_A)
     jac = jnp.einsum('...ij,k...ji->k...', inv_a, v.jac)
     m = jnp.einsum('...ij,k...jl->k...il', inv_a, v.jac)

@@ -18,7 +18,12 @@ import jax.numpy as jnp
 from jax.extend import core as jex_core
 from jax.interpreters import ad, batching, mlir
 
+from .linalg_small import inv_small, slogdet_small
+
 __all__ = ['slogdet']
+
+# above this size the unrolled elimination stops paying off
+SMALL_N = 64
 
 slogdet_p = jex_core.Primitive('deepqmc_slogdet')
 slogdet_p.multiple_results = True
@@ -30,7 +35,13 @@ def slogdet(a: jax.Array) -> tuple[jax.Array, jax.Array]:
     return sign, logdet
 
 
+def _inv(a):
+    return inv_small(a) if a.shape[-1] <= SMALL_N else jnp.linalg.inv(a)
+
+
 def _impl(a):
+    if a.shape[-1] <= SMALL_N:
+        return slogdet_small(a)
     sign, logdet = jnp.linalg.slogdet(a)
     return sign, logdet
 
@@ -52,7 +63,7 @@ def _jvp_rule(primals, tangents):
     (a,) = primals
     (da,) = tangents
     sign, logdet = slogdet_p.bind(a)
-    inv_a = jnp.linalg.inv(a)
+    inv_a = _inv(a)
     if isinstance(da, ad.Zero):
         d_logdet = ad.Zero.from_primal_value(logdet)
     else:

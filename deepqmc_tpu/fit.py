@@ -16,7 +16,9 @@ wave-function statistics are recorded every step; additional observable
 monitors run on the last step of each block.
 """
 
+import time
 from collections.abc import Generator, Iterable
+from functools import partial
 from typing import Type
 
 import jax
@@ -147,6 +149,8 @@ def fit_wf(  # noqa: C901
 
     layout_box: dict = {}
 
+    # note: the carry is deliberately NOT donated — CheckpointStore keeps a
+    # live reference to yielded TrainStates for its close-time dump
     @jax.jit
     def train_block(rngs, mol_idxs_block, carry):
         carry, (outputs, heavy) = jax.lax.scan(
@@ -188,6 +192,7 @@ def fit_wf(  # noqa: C901
         if not block_steps:
             break
         k = len(block_steps)
+        block_start = time.perf_counter()
         rngs = jnp.stack([next(rngs_iter) for _ in range(k)])
         mol_idxs_block = jnp.stack(
             [molecule_idx_sampler.sample() for _ in range(k)]
@@ -197,8 +202,12 @@ def fit_wf(  # noqa: C901
         # the heavy per-step phys_confs stay on device; only the last step's
         # configuration feeds the periodic monitors
         outputs = jax.device_get(outputs)
+        block_time = time.perf_counter() - block_start
+        n_walkers = int(np.prod(train_state.sampler['elec']['r'].shape[:3]))
         for b, step in enumerate(block_steps):
             stats = _unpack(layout_box['layout'], outputs['stats_flat'][b])
+            stats['perf/step_time'] = block_time / k
+            stats['perf/walker_steps_per_sec'] = n_walkers / (block_time / k)
             mol_idxs = mol_idxs_block[b]
             observable_samples = {
                 'local_energy/samples': outputs['E_loc'][b],

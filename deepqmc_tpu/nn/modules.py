@@ -228,19 +228,35 @@ class MultiHeadAttention(Module):
         return out.reshape(*out.shape[:-1], self.num_heads, self.key_size)
 
     def __call__(self, q, k, v, mask=None) -> jax.Array:
-        # [n, h, d]
+        # implemented with explicit dot_general dimension numbers so NO
+        # transposes appear in the lowered program (einsum would canonicalize
+        # batch dims with transposes) — every transpose here would also be
+        # applied to the 3N-row forward-Laplacian Jacobian channel
+        assert q.ndim == 2, 'attention operates per sample (vmap for batches)'
         q_h, k_h, v_h = self._proj(q, 'query'), self._proj(k, 'key'), self._proj(v, 'value')
-        logits = jnp.einsum('...qhd,...khd->...hqk', q_h, k_h) / jnp.sqrt(
-            self.key_size
-        ).astype(q_h.dtype)
+        # [q,h,d] x [k,h,d] -> [h,q,k]  (contract d, batch h)
+        logits = jax.lax.dot_general(
+            q_h, k_h, (((2,), (2,)), ((1,), (1,)))
+        ) / jnp.sqrt(self.key_size).astype(q_h.dtype)
         if mask is not None:
             logits = jnp.where(mask, logits, -1e30)
         weights = jax.nn.softmax(logits, axis=-1)
-        attended = jnp.einsum('...hqk,...khd->...qhd', weights, v_h)
-        attended = attended.reshape(*attended.shape[:-2], -1)
-        return Linear(
-            q.shape[-1], with_bias=self.with_bias, w_init=self.w_init, name='linear'
-        )(attended)
+        # [h,q,k] x [k,h,d] -> [h,q,d]  (contract k, batch h)
+        attended = jax.lax.dot_general(
+            weights, v_h, (((2,), (0,)), ((0,), (1,)))
+        )
+        # output projection: contract (h, d) jointly against [h, d, out];
+        # stored 2-D ([h*d, out]) so KFAC treats it as a regular dense layer
+        w_out = get_param(
+            'w', (self.num_heads * self.key_size, q.shape[-1]), self.w_init
+        ).reshape(self.num_heads, self.key_size, q.shape[-1])
+        out = jax.lax.dot_general(attended, w_out, (((0, 2), (0, 1)), ((), ())))
+        if self.with_bias:
+            out = out + get_param('b', (q.shape[-1],), zeros_init())
+        # expose the (head-flattened) activation/output pair to KFAC; dead
+        # code unless an instrumented pass records it
+        attended_flat = jnp.swapaxes(attended, 0, 1).reshape(q.shape[0], -1)
+        return tag_dense(attended_flat, out)
 
 
 class ResidualConnection:

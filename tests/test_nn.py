@@ -126,7 +126,8 @@ def test_multi_head_attention_shapes():
     params = model.init(jax.random.PRNGKey(0), h)
     out = model.apply(params, h)
     assert out.shape == (6, 32)
-    assert set(params) == {'attn/query', 'attn/key', 'attn/value', 'attn/linear'}
+    assert set(params) == {'attn/query', 'attn/key', 'attn/value', 'attn'}
+    assert params['attn']['w'].shape == (32, 32)  # output projection
 
 
 def test_glu():

@@ -50,7 +50,11 @@ def fit_wf(  # noqa: C901
     block_size: int = 1,
 ) -> Generator[tuple[int, TrainState, jax.Array, Stats, dict], None, None]:
     loss_fn = loss_function_factory(hamil, ansatz)
-    loss_and_grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    # VMCLoss provides the direct (single-vjp) gradient estimator; fall back
+    # to AD for plain callables so custom loss factories keep working
+    loss_and_grad_fn = getattr(
+        loss_fn, 'value_and_grad', None
+    ) or jax.value_and_grad(loss_fn, has_aux=True)
     opt = optimizer_factory(loss_and_grad_fn)
     if hasattr(opt, 'bind_ansatz'):
         opt.bind_ansatz(ansatz)

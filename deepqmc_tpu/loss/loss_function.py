@@ -1,16 +1,26 @@
-"""The custom-JVP VMC loss function.
+"""The VMC loss with a *direct* gradient estimator.
 
-Reference: /root/reference/src/deepqmc/loss/loss_function.py.  The primal is
-the weighted mean local energy (+ optional overlap / spin penalties); the
-custom JVP implements the VMC gradient estimator — tangent =
-masked-mean[(E_loc_clipped - baseline) * d(log psi) * w] — bypassing
-differentiation through the Hamiltonian.
+Covers the behavior of the reference's custom-JVP loss
+(/root/reference/src/deepqmc/loss/loss_function.py) with a different
+mechanism, chosen for the fused single-jit training step this framework is
+built around.  The reference must express the VMC gradient as a
+``jax.custom_jvp`` so that kfac-jax's ``value_and_grad`` picks it up via AD
+transposition, and must smuggle its aux outputs through the unused tangent
+slot (reference loss_function.py:240-244).  Here the optimizer interface
+takes a loss-and-gradient *function*, so neither trick is needed; the
+estimator is computed head-on:
 
-Differences from the reference:
-- no ``all_gather`` of the aux outputs (loss_function.py:236-237): with one
-  jitted step over globally-sharded arrays the aux is already global;
-- no kfac-jax registration call (loss_function.py:106): our KFAC observes the
-  network through nn instrumentation instead.
+1. every gradient contribution (energy, overlap penalty, spin penalty) is
+   linear in the per-walker tangents ``T = d log|psi|`` — assemble that
+   linear map, transpose it once with :func:`jax.linear_transpose` to get a
+   per-walker cotangent field ``c[mol, state, walker]``;
+2. pull ``c`` back to parameter space with ONE :func:`jax.vjp` backward pass
+   of batched ``log|psi|`` per electronic state.
+
+This keeps the estimator semantics (clipping, masking, per-state baselines,
+penalty scalings) in small composable term functions, costs a single
+backward pass no matter how many penalty terms are active, and never asks
+AD to differentiate through the Hamiltonian.
 """
 
 from functools import partial
@@ -73,36 +83,168 @@ class LossAndGradFunction(Protocol):
     def __call__(self, params: list[Params], rng: KeyArray, batch: Batch): ...
 
 
-def compute_log_psi_tangent(
-    ansatz: Ansatz,
-    phys_conf: PhysicalConfiguration,
-    params: list[Params],
-    params_tangent: list[Params],
-) -> jax.Array:
-    """JVP of log|psi| w.r.t. each electronic state's parameters.
+def _state_phys_conf(phys_conf: PhysicalConfiguration, i: int):
+    """Select electronic state ``i`` and flatten [mol, walker] into one axis."""
+    n_batch = len(phys_conf.batch_shape)
+    return jax.tree_util.tree_map(
+        lambda x: x[:, i].reshape(-1, *x.shape[n_batch:]), phys_conf
+    )
 
-    Returns shape ``[mol, state, walker]`` (reference loss_function.py:79-108).
+
+def _batched_log_psi(ansatz: Ansatz, phys_conf, params: Params) -> jax.Array:
+    return jax.vmap(ansatz.apply, (None, 0))(params, phys_conf).log
+
+
+OVERLAP_SCALES: dict[Optional[str], OverlapGradientScaleFactory] = {
+    None: lambda min_gap_scale_factor: no_scaling,
+    'energy_gap': lambda min_gap_scale_factor: cast(
+        OverlapGradientScaleFactory,
+        partial(scale_by_energy_gap, min_gap_scale_factor=min_gap_scale_factor),
+    ),
+    'energy_std': lambda min_gap_scale_factor: cast(
+        OverlapGradientScaleFactory,
+        partial(scale_by_energy_std, min_gap_scale_factor=min_gap_scale_factor),
+    ),
+    'max_gap_std': lambda min_gap_scale_factor: cast(
+        OverlapGradientScaleFactory,
+        partial(scale_by_max_gap_std, min_gap_scale_factor=min_gap_scale_factor),
+    ),
+}
+
+
+class VMCLoss:
+    """Weighted mean local energy with optional overlap and spin penalties.
+
+    Calling the object evaluates the loss and its aux outputs
+    ``(local_energy, psi_ratio, stats)``; :meth:`value_and_grad` additionally
+    returns the VMC gradient estimate.  Construct via :func:`create_loss_fn`.
     """
 
-    def flat_log_psi(flat_phys_conf, state_params):
-        return jax.vmap(ansatz.apply, (None, 0))(state_params, flat_phys_conf).log
-
-    n_batch_dims = len(phys_conf.batch_shape)
-    tangents = []
-    for i, (state_params, state_params_tangent) in enumerate(
-        zip(params, params_tangent)
+    def __init__(
+        self,
+        hamil,
+        ansatz: Ansatz,
+        clip_mask_fn: LocalEnergyClipAndMaskFn,
+        clip_mask_overlap_fn: Optional[PsiRatioClipAndMaskFn],
+        alpha: Optional[float],
+        spin_penalty: Optional[float],
+        scale_overlap_by: Optional[str],
+        sort_states_by: Optional[str],
+        min_gap_scale_factor: float,
     ):
-        flat_phys_conf = jax.tree_util.tree_map(
-            partial(lambda i, x: x[:, i].reshape(-1, *x.shape[n_batch_dims:]), i),
-            phys_conf,
+        self.hamil = hamil
+        self.ansatz = ansatz
+        self.clip_mask_fn = clip_mask_fn
+        self.clip_mask_overlap_fn = clip_mask_overlap_fn
+        self.alpha = alpha
+        self.spin_penalty = spin_penalty
+        self.overlap_scale = OVERLAP_SCALES[scale_overlap_by](min_gap_scale_factor)
+        self.sort_states_by = sort_states_by
+
+    # -- shared forward work -------------------------------------------------
+
+    def _state_ordering(self, data) -> jax.Array:
+        energy_ewm = data['energy_ewm']
+        if self.sort_states_by == 'energy':
+            return jnp.argsort(energy_ewm, axis=-1)
+        return jnp.broadcast_to(
+            jnp.arange(energy_ewm.shape[-1]), energy_ewm.shape
         )
-        _, tangent = jax.jvp(
-            partial(flat_log_psi, flat_phys_conf),
-            (state_params,),
-            (state_params_tangent,),
+
+    def _evaluate_terms(self, params, rng, batch):
+        """Everything both the loss and the gradient need: local energies,
+        penalty raw materials, and the running stats dict."""
+        phys_conf, weight, _ = batch
+        stacked_params = tree_stack(params)
+        local_energy, stats = compute_local_energy(
+            rng, self.hamil, self.ansatz.apply, stacked_params, phys_conf
         )
-        tangents.append(tangent.reshape(phys_conf.batch_shape[::2]))
-    return jnp.stack(tangents, axis=1)
+        loss, energy_stats = compute_mean_energy(local_energy, weight)
+        stats |= energy_stats
+
+        psi_ratio = None
+        spin_contributions = None
+        if phys_conf.batch_shape[1] > 1:
+            psi_ratio, psi_stats = compute_psi_ratio(
+                self.ansatz, stacked_params, phys_conf
+            )
+            overlap, overlap_stats = compute_mean_overlap(psi_ratio, weight)
+            loss += self.alpha * overlap
+            stats |= psi_stats | overlap_stats
+        if self.spin_penalty is not None:
+            spin_contributions = compute_spin_contributions(
+                self.hamil, self.ansatz, stacked_params, phys_conf
+            )
+            spin, spin_stats = compute_mean_spin(spin_contributions, weight)
+            loss += self.spin_penalty * spin
+            stats |= spin_stats
+        return loss, local_energy, psi_ratio, spin_contributions, stats
+
+    # -- public surface --------------------------------------------------------
+
+    def __call__(self, params, rng, batch):
+        loss, local_energy, psi_ratio, _, stats = self._evaluate_terms(
+            params, rng, batch
+        )
+        return loss, (local_energy, psi_ratio, stats)
+
+    def value_and_grad(self, params, rng, batch):
+        phys_conf, weight, data = batch
+        loss, local_energy, psi_ratio, spin_contributions, stats = (
+            self._evaluate_terms(params, rng, batch)
+        )
+
+        # the estimator's per-walker coefficients: clip outliers, mask walkers
+        clipped_energy, gradient_mask = clip_local_energy(
+            self.clip_mask_fn, local_energy
+        )
+        if psi_ratio is not None:
+            assert self.clip_mask_overlap_fn is not None
+            clipped_ratio, ratio_mask = clip_psi_ratio(
+                self.clip_mask_overlap_fn, psi_ratio
+            )
+            _, clipped_overlap_stats = compute_mean_overlap(clipped_ratio, weight)
+            overlap_data = dict(data, ordering=self._state_ordering(data))
+
+        def assemble_tangent(log_psi_tangent):
+            """Total loss tangent as a function of T = d log|psi|; linear."""
+            tangent = compute_mean_energy_tangent(
+                clipped_energy, weight, log_psi_tangent, gradient_mask
+            )
+            if psi_ratio is not None:
+                tangent += self.alpha * compute_mean_overlap_tangent(
+                    clipped_ratio,
+                    weight,
+                    log_psi_tangent,
+                    ratio_mask,
+                    clipped_overlap_stats['overlap/pairwise/mean'],
+                    self.overlap_scale,
+                    overlap_data,
+                )
+            if spin_contributions is not None:
+                tangent += self.spin_penalty * compute_mean_spin_tangent(
+                    spin_contributions, weight, log_psi_tangent, gradient_mask
+                )
+            return tangent
+
+        # transpose the linear tangent assembly: the cotangent of T under a
+        # unit loss cotangent is the per-walker coefficient field c
+        t_shape = jax.ShapeDtypeStruct(local_energy.shape, local_energy.dtype)
+        (cotangent,) = jax.linear_transpose(assemble_tangent, t_shape)(
+            jnp.ones((), local_energy.dtype)
+        )
+
+        # pull c back to parameter space: one vjp of log|psi| per state
+        grads = []
+        for i, state_params in enumerate(params):
+            conf_i = _state_phys_conf(phys_conf, i)
+            _, pullback = jax.vjp(
+                partial(_batched_log_psi, self.ansatz, conf_i), state_params
+            )
+            (grad_i,) = pullback(cotangent[:, i].reshape(-1))
+            grads.append(grad_i)
+
+        return (loss, (local_energy, psi_ratio, stats)), grads
 
 
 def create_loss_fn(
@@ -115,117 +257,16 @@ def create_loss_fn(
     scale_overlap_by: Optional[str] = None,
     sort_states_by: Optional[str] = None,
     min_gap_scale_factor: float = 0.1,
-) -> LossFunction:
-    """Build the custom-JVP loss (reference loss_function.py:111-245)."""
-    overlap_scale_factory = {
-        None: no_scaling,
-        'energy_gap': cast(
-            OverlapGradientScaleFactory,
-            partial(scale_by_energy_gap, min_gap_scale_factor=min_gap_scale_factor),
-        ),
-        'energy_std': cast(
-            OverlapGradientScaleFactory,
-            partial(scale_by_energy_std, min_gap_scale_factor=min_gap_scale_factor),
-        ),
-        'max_gap_std': cast(
-            OverlapGradientScaleFactory,
-            partial(scale_by_max_gap_std, min_gap_scale_factor=min_gap_scale_factor),
-        ),
-    }[scale_overlap_by]
-    sort_states_factory = {
-        None: lambda x: jnp.broadcast_to(jnp.arange(x.shape[-1]), x.shape),
-        'energy': lambda x: jnp.argsort(x, axis=-1),
-    }[sort_states_by]
-
-    @jax.custom_jvp
-    def loss_fn(
-        params: list[Params], rng: KeyArray, batch: Batch
-    ) -> tuple[jax.Array, tuple[Energy, Optional[jax.Array], Stats]]:
-        phys_conf, weight, data = batch
-        stacked_params = tree_stack(params)
-        local_energy, hamil_stats = compute_local_energy(
-            rng, hamil, ansatz.apply, stacked_params, phys_conf
-        )
-        loss, energy_stats = compute_mean_energy(local_energy, weight)
-        stats = hamil_stats | energy_stats
-        if phys_conf.batch_shape[1] > 1:
-            psi_ratio, psi_stats = compute_psi_ratio(ansatz, stacked_params, phys_conf)
-            overlap_loss, overlap_stats = compute_mean_overlap(psi_ratio, weight)
-            loss += alpha * overlap_loss
-            stats |= psi_stats | overlap_stats
-        else:
-            psi_ratio = None
-        if spin_penalty is not None:
-            spin_contributions = compute_spin_contributions(
-                hamil, ansatz, stacked_params, phys_conf
-            )
-            spin, spin_stats = compute_mean_spin(spin_contributions, weight)
-            loss += spin_penalty * spin
-            stats |= spin_stats
-        return loss, (local_energy, psi_ratio, stats)
-
-    @loss_fn.defjvp
-    def loss_fn_jvp(primals, tangents):
-        params, rng, (phys_conf, weight, data) = primals
-        params_tangent, *_ = tangents
-
-        log_psi_tangent = compute_log_psi_tangent(
-            ansatz, phys_conf, params, params_tangent
-        )
-        stacked_params = tree_stack(params)
-        local_energy, hamil_stats = compute_local_energy(
-            rng, hamil, ansatz.apply, stacked_params, phys_conf
-        )
-        loss, energy_stats = compute_mean_energy(local_energy, weight)
-        stats = hamil_stats | energy_stats
-        clipped_local_energy, gradient_mask = clip_local_energy(
-            clip_mask_fn, local_energy
-        )
-        loss_tangent = compute_mean_energy_tangent(
-            clipped_local_energy, weight, log_psi_tangent, gradient_mask
-        )
-
-        if phys_conf.batch_shape[1] > 1:
-            assert clip_mask_overlap_fn is not None and alpha is not None
-            assert data is not None
-            data['ordering'] = sort_states_factory(data['energy_ewm'])
-            psi_ratio, psi_stats = compute_psi_ratio(ansatz, stacked_params, phys_conf)
-            overlap_loss, overlap_stats = compute_mean_overlap(psi_ratio, weight)
-            stats |= psi_stats | overlap_stats
-            clipped_psi_ratio, ratio_gradient_mask = clip_psi_ratio(
-                clip_mask_overlap_fn, psi_ratio
-            )
-            _, clipped_overlap_stats = compute_mean_overlap(clipped_psi_ratio, weight)
-            overlap_tangent = compute_mean_overlap_tangent(
-                clipped_psi_ratio,
-                weight,
-                log_psi_tangent,
-                ratio_gradient_mask,
-                clipped_overlap_stats['overlap/pairwise/mean'],
-                overlap_scale_factory,
-                data,
-            )
-            loss += alpha * overlap_loss
-            loss_tangent += alpha * overlap_tangent
-        else:
-            psi_ratio = None
-
-        if spin_penalty is not None:
-            spin_contributions = compute_spin_contributions(
-                hamil, ansatz, stacked_params, phys_conf
-            )
-            spin, spin_stats = compute_mean_spin(spin_contributions, weight)
-            stats |= spin_stats
-            spin_tangent = compute_mean_spin_tangent(
-                spin_contributions, weight, log_psi_tangent, gradient_mask
-            )
-            loss += spin_penalty * spin
-            loss_tangent += spin_penalty * spin_tangent
-
-        aux = (local_energy, psi_ratio, stats)
-        # custom_jvp has no official aux-output support: the tangent aux slot
-        # must be filled, and is never consumed (same trick as the reference,
-        # loss_function.py:240-244)
-        return (loss, aux), (loss_tangent, aux)
-
-    return loss_fn
+) -> VMCLoss:
+    """Build the VMC loss (kwargs mirror reference loss_function.py:111-135)."""
+    return VMCLoss(
+        hamil,
+        ansatz,
+        clip_mask_fn,
+        clip_mask_overlap_fn,
+        alpha,
+        spin_penalty,
+        scale_overlap_by,
+        sort_states_by,
+        min_gap_scale_factor,
+    )

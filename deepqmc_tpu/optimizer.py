@@ -34,13 +34,17 @@ class NoOptimizer:
     """Evaluation mode: compute the loss aux, never touch the parameters."""
 
     def __init__(self, loss_and_grad_fn, merge_keys: Optional[list[str]] = None):
-        self.loss_and_grad_fn = loss_and_grad_fn
+        # a VMCLoss bound method exposes the forward-only evaluation through
+        # __self__; use it to skip the (discarded) backward pass entirely
+        self.loss_fn = getattr(loss_and_grad_fn, '__self__', None) or (
+            lambda params, rng, batch: loss_and_grad_fn(params, rng, batch)[0]
+        )
 
     def init(self, rng, params, batch):
         return None
 
     def step(self, rng, params, opt_state, batch):
-        (loss, (E_loc, ratios, stats)), _ = self.loss_and_grad_fn(
+        loss, (E_loc, ratios, stats) = self.loss_fn(
             tree_unstack(params), rng, batch
         )
         return params, opt_state, E_loc, ratios, stats

@@ -1,9 +1,15 @@
-"""Post-hoc oscillator-strength estimation from logged samples.
+"""Oscillator strengths from logged local energies and wave-function ratios.
 
-Reference: /root/reference/src/deepqmc/oscillator_strength.py.
+Post-hoc evaluation of the dipole-times-ratio estimator for transitions
+between jointly-trained electronic states (same quantities as the
+reference's oscillator_strength.py; the estimator is eq. 3-5 of the
+excited-states paper cited there).  Built on a tiny first-order
+error-propagation algebra over ``(mean, err)`` estimates so each physical
+step — Monte Carlo averaging, products, powers — carries its uncertainty
+explicitly.
 """
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -13,6 +19,39 @@ from .types import Energy
 __all__ = ['compute_oscillator_strength']
 
 
+class Estimate(NamedTuple):
+    """A value with its statistical uncertainty."""
+
+    mean: jax.Array
+    err: jax.Array
+
+    @property
+    def rel_err(self):
+        return self.err / self.mean
+
+
+def _mc_estimate(samples: jax.Array, axis: int, mask) -> Estimate:
+    """Monte Carlo mean and standard error along ``axis``."""
+    n = samples.shape[axis]
+    return Estimate(
+        jnp.mean(samples, axis=axis, where=mask),
+        jnp.std(samples, axis=axis, where=mask) / jnp.sqrt(n),
+    )
+
+
+def _product(a: Estimate, b: Estimate) -> Estimate:
+    """First-order error propagation through an elementwise product."""
+    mean = a.mean * b.mean
+    return Estimate(mean, jnp.abs(mean) * jnp.hypot(a.rel_err, b.rel_err))
+
+
+def _sum_last(a: Estimate) -> Estimate:
+    """Sum over the trailing axis; errors add in quadrature."""
+    return Estimate(
+        a.mean.sum(axis=-1), jnp.sqrt((a.err**2).sum(axis=-1))
+    )
+
+
 def compute_oscillator_strength(
     local_energies: Energy,
     ratios: jax.Array,
@@ -20,40 +59,48 @@ def compute_oscillator_strength(
     local_energies_mask: Optional[jax.Array] = None,
     ratios_mask: Optional[jax.Array] = None,
 ):
-    """Oscillator strengths, transition dipole moments and excitation energies.
+    """Oscillator strengths, transition dipole moments, excitation energies.
 
-    Shapes: ``local_energies [state, batch]``, ``ratios [state, state, batch]``,
-    ``rs [state, batch, n_elec, 3]``.
+    Shapes: ``local_energies [state, walker]``, ``ratios
+    [state, state, walker]`` (ratios[i, j] = psi_i/psi_j at samples of j),
+    ``rs [state, walker, n_elec, 3]``.  Returns three ``(mean, err)`` pairs:
+    oscillator strength, transition dipole norm, excitation energy, each of
+    shape ``[state, state]``.
     """
-    sample_size = local_energies.shape[-1]
-
-    energy_mean = jnp.mean(local_energies, axis=-1, where=local_energies_mask)
-    energy_err = (
-        jnp.std(local_energies, axis=-1, where=local_energies_mask) / sample_size**0.5
+    # pairwise excitation energies Delta_ij = E_j - E_i
+    energy = _mc_estimate(local_energies, -1, local_energies_mask)
+    excitation = Estimate(
+        energy.mean[None, :] - energy.mean[:, None],
+        jnp.hypot(energy.err[None, :], energy.err[:, None]),
     )
-    ex_energy_mean = energy_mean[None, :] - energy_mean[:, None]
-    ex_energy_err = (energy_err**2 + energy_err[:, None] ** 2) ** 0.5
 
-    cd = jnp.sum(-rs, axis=-2) * ratios[..., None]
-    ratios_mask = ratios_mask if ratios_mask is None else ratios_mask[..., None]
-    cd_mean = jnp.mean(cd, axis=-2, where=ratios_mask)
-    cd_err = jnp.std(cd, axis=-2, where=ratios_mask) / sample_size**0.5
-    cd_rel_err = cd_err / cd_mean
-
-    ds_vec = cd_mean * cd_mean.swapaxes(0, 1)
-    ds_err_vec = (
-        jnp.abs(ds_vec) * (cd_rel_err**2 + cd_rel_err.swapaxes(0, 1) ** 2) ** 0.5
+    # transition dipole matrix elements per Cartesian component:
+    # D[i, j, a] = < (-sum_e r_e^a) * psi_i/psi_j >_{r ~ psi_j^2}
+    dipole_samples = -rs.sum(axis=-2) * ratios[..., None]
+    dipole = _mc_estimate(
+        dipole_samples,
+        -2,
+        None if ratios_mask is None else ratios_mask[..., None],
     )
-    ds_mean = jnp.sum(ds_vec, axis=-1)
-    ds_err = jnp.sum(ds_err_vec**2, axis=-1) ** 0.5
 
-    tdm_mean = ds_mean**0.5
-    tdm_err = 0.5 * tdm_mean * (ds_err / ds_mean)
-
-    os_mean = (2 / 3) * ex_energy_mean * ds_mean
-    os_err = (
-        (2 / 3)
-        * jnp.abs(os_mean)
-        * ((ex_energy_err / ex_energy_mean) ** 2 + (ds_err / ds_mean) ** 2) ** 0.5
+    # dipole strength S_ij = sum_a D_ij^a * D_ji^a and its square root,
+    # the transition dipole moment
+    strength = _sum_last(
+        _product(dipole, Estimate(*map(lambda x: x.swapaxes(0, 1), dipole)))
     )
-    return (os_mean, os_err), (tdm_mean, tdm_err), (ex_energy_mean, ex_energy_err)
+    tdm = Estimate(
+        jnp.sqrt(strength.mean), 0.5 * jnp.sqrt(strength.mean) * strength.rel_err
+    )
+
+    # f_ij = 2/3 * Delta_ij * S_ij (error convention as in the reference:
+    # the 2/3 prefactor enters the error once more through |f|)
+    f_mean = (2 / 3) * excitation.mean * strength.mean
+    oscillator = Estimate(
+        f_mean,
+        (2 / 3) * jnp.abs(f_mean) * jnp.hypot(excitation.rel_err, strength.rel_err),
+    )
+    return (
+        (oscillator.mean, oscillator.err),
+        (tdm.mean, tdm.err),
+        (excitation.mean, excitation.err),
+    )

@@ -1,0 +1,176 @@
+"""The direct VMC gradient estimator (loss/loss_function.py).
+
+The estimator gradient g must satisfy <g, dtheta> = assemble_tangent(T) for
+every parameter direction dtheta, where T is the JVP of batched log|psi| in
+that direction — i.e. the vjp/linear_transpose path must agree with the
+custom-JVP formulation the reference uses (loss_function.py:171-244 there).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepqmc_tpu.loss import (
+    create_loss_fn,
+    median_log_squeeze_and_mask,
+    psi_ratio_clip_and_mask,
+)
+from deepqmc_tpu.loss.clip import clip_local_energy, clip_psi_ratio
+from deepqmc_tpu.loss.energy import (
+    compute_local_energy,
+    compute_mean_energy_tangent,
+)
+from deepqmc_tpu.loss.loss_function import _batched_log_psi, _state_phys_conf
+from deepqmc_tpu.loss.overlap import (
+    compute_mean_overlap,
+    compute_mean_overlap_tangent,
+    compute_psi_ratio,
+)
+from deepqmc_tpu.loss.spin import (
+    compute_mean_spin_tangent,
+    compute_spin_contributions,
+)
+from deepqmc_tpu.presets import ansatz_preset
+from deepqmc_tpu.utils import tree_stack
+from deepqmc_tpu.wf import init_wf_params, instantiate_ansatz
+
+
+@pytest.fixture(scope='module')
+def loss_setup(helpers):
+    hamil = helpers.hamil(mol=helpers.mol('H2'))
+    ansatz = instantiate_ansatz(
+        hamil,
+        ansatz_preset(
+            'default',
+            n_determinants=2,
+            embedding_dim=16,
+            n_interactions=1,
+            two_particle_stream_dim=8,
+        ),
+    )
+    n_states, n_walkers = 2, 8
+    params = jax.device_get(init_wf_params(helpers.rng(1), hamil, ansatz, n_states))
+    params = [
+        jax.tree_util.tree_map(lambda x, i=i: jnp.asarray(x[i]), params)
+        for i in range(n_states)
+    ]
+    confs = [
+        hamil.init_sample(helpers.rng(10 + i), hamil.mol.coords, n_walkers)
+        for i in range(n_states)
+    ]
+    phys_conf = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0)[None], *confs
+    )  # [mol=1, state, walker]
+    weight = jnp.ones(phys_conf.batch_shape)
+    return hamil, ansatz, params, phys_conf, weight
+
+
+def log_psi_tangent_of(ansatz, phys_conf, params, dparams):
+    """T[mol, state, walker]: JVP of each state's batched log psi."""
+    tangents = []
+    for i, (p, dp) in enumerate(zip(params, dparams)):
+        conf = _state_phys_conf(phys_conf, i)
+        _, t = jax.jvp(partial(_batched_log_psi, ansatz, conf), (p,), (dp,))
+        tangents.append(t.reshape(phys_conf.batch_shape[::2]))
+    return jnp.stack(tangents, axis=1)
+
+
+@pytest.mark.parametrize('with_spin', [False, True])
+def test_direct_gradient_matches_tangent(loss_setup, helpers, with_spin):
+    hamil, ansatz, params, phys_conf, weight = loss_setup
+    loss_fn = create_loss_fn(
+        hamil,
+        ansatz,
+        clip_mask_fn=median_log_squeeze_and_mask,
+        clip_mask_overlap_fn=psi_ratio_clip_and_mask,
+        alpha=1.0,
+        spin_penalty=0.5 if with_spin else None,
+        scale_overlap_by='max_gap_std',
+        sort_states_by='energy',
+    )
+    data = {
+        'energy_ewm': jnp.array([[-1.0, -0.6]]),
+        'std_ewm': jnp.array([[0.2, 0.3]]),
+    }
+    batch = (phys_conf, weight, data)
+    rng = helpers.rng(7)
+    (loss, (E_loc, ratios, stats)), grads = loss_fn.value_and_grad(
+        params, rng, batch
+    )
+    assert np.isfinite(loss)
+    assert np.isfinite(helpers.flatten_pytree(grads)).all()
+
+    # oracle: rebuild the tangent from the published term functions
+    stacked = tree_stack(params)
+    local_energy, _ = compute_local_energy(
+        rng, hamil, ansatz.apply, stacked, phys_conf
+    )
+    np.testing.assert_allclose(np.asarray(E_loc), np.asarray(local_energy))
+    clipped_E, mask = clip_local_energy(median_log_squeeze_and_mask, local_energy)
+    psi_ratio, _ = compute_psi_ratio(ansatz, stacked, phys_conf)
+    clipped_ratio, ratio_mask = clip_psi_ratio(psi_ratio_clip_and_mask, psi_ratio)
+    _, clipped_overlap_stats = compute_mean_overlap(clipped_ratio, weight)
+    overlap_data = dict(data, ordering=jnp.argsort(data['energy_ewm'], axis=-1))
+    if with_spin:
+        spin_contributions = compute_spin_contributions(
+            hamil, ansatz, stacked, phys_conf
+        )
+
+    def tangent_from(T):
+        t = compute_mean_energy_tangent(clipped_E, weight, T, mask)
+        t += compute_mean_overlap_tangent(
+            clipped_ratio,
+            weight,
+            T,
+            ratio_mask,
+            clipped_overlap_stats['overlap/pairwise/mean'],
+            loss_fn.overlap_scale,
+            overlap_data,
+        )
+        if with_spin:
+            t += 0.5 * compute_mean_spin_tangent(
+                spin_contributions, weight, T, mask
+            )
+        return t
+
+    for seed in range(3):
+        dparams = jax.tree_util.tree_map(
+            lambda x: jax.random.normal(
+                jax.random.fold_in(helpers.rng(seed), hash(str(x.shape)) % 1000),
+                x.shape,
+                x.dtype,
+            ),
+            params,
+        )
+        T = log_psi_tangent_of(ansatz, phys_conf, params, dparams)
+        expected = tangent_from(T)
+        actual = sum(
+            jnp.vdot(helpers.flatten_pytree(g), helpers.flatten_pytree(dp))
+            for g, dp in zip(grads, dparams)
+        )
+        np.testing.assert_allclose(
+            np.asarray(actual), np.asarray(expected), rtol=1e-9, atol=1e-12
+        )
+
+
+def test_forward_only_call_matches_value_and_grad(loss_setup, helpers):
+    hamil, ansatz, params, phys_conf, weight = loss_setup
+    loss_fn = create_loss_fn(
+        hamil,
+        ansatz,
+        clip_mask_fn=median_log_squeeze_and_mask,
+        clip_mask_overlap_fn=psi_ratio_clip_and_mask,
+        alpha=1.0,
+    )
+    data = {
+        'energy_ewm': jnp.array([[-1.0, -0.6]]),
+        'std_ewm': jnp.array([[0.2, 0.3]]),
+    }
+    batch = (phys_conf, weight, data)
+    loss, (E_loc, ratios, stats) = loss_fn(params, helpers.rng(7), batch)
+    (loss2, (E_loc2, *_)), _ = loss_fn.value_and_grad(params, helpers.rng(7), batch)
+    np.testing.assert_allclose(np.asarray(loss), np.asarray(loss2))
+    np.testing.assert_allclose(np.asarray(E_loc), np.asarray(E_loc2))

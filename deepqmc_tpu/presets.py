@@ -18,7 +18,7 @@ from .gnn.edge_features import (
     DifferenceEdgeFeature,
     DistancePowerEdgeFeature,
 )
-from .gnn.electron_gnn import ElectronEmbedding
+from .gnn.electron_gnn import ElectronEmbedding, NucleiEmbedding
 from .gnn.update_features import (
     ConvolutionElectronUpdateFeature,
     EdgeSumElectronUpdateFeature,
@@ -306,10 +306,104 @@ def psiformer_ansatz(
     )
 
 
+def deeperwin_ansatz(
+    hamil,
+    *,
+    n_determinants=32,
+    full_determinant=True,
+    embedding_dim=256,
+    n_interactions=4,
+    two_particle_stream_dim=32,
+):
+    """The reference's `deeperwin` ansatz configuration."""
+    subnet = _mlp(['log', 1], True, False, jnp.tanh, 'deeperwin')
+    gnn_factory = partial(
+        ElectronGNN,
+        n_interactions=n_interactions,
+        nuclei_embedding=partial(
+            NucleiEmbedding,
+            embedding_dim=32,
+            atom_type_embedding=True,
+            subnet_type='embed',
+            edge_features=None,
+        ),
+        electron_embedding=partial(
+            ElectronEmbedding,
+            positional_embeddings={'ne': _dist_diff_features()},
+            use_spin=False,
+            project_to_embedding_dim=False,
+        ),
+        two_particle_stream_dim=two_particle_stream_dim,
+        self_interaction=True,
+        edge_features={
+            'ne': _dist_diff_features(),
+            'same': DistancePowerEdgeFeature(powers=[1]),
+            'anti': DistancePowerEdgeFeature(powers=[1]),
+        },
+        layer_factory=partial(
+            ElectronGNNLayer,
+            subnet_factory=subnet,
+            electron_residual=False,
+            nucleus_residual=False,
+            two_particle_residual=nn.ResidualConnection(normalize=True),
+            deep_features='separate',
+            update_rule='concatenate',
+            update_features=[
+                partial(ResidualElectronUpdateFeature),
+                partial(
+                    NodeSumElectronUpdateFeature,
+                    node_types=['up', 'down'],
+                    normalize=True,
+                ),
+                partial(
+                    ConvolutionElectronUpdateFeature,
+                    edge_types=['ee', 'ne'],
+                    normalize=False,
+                    w_factory=subnet,
+                    h_factory=subnet,
+                    w_for_ne=False,
+                ),
+            ],
+        ),
+    )
+    omni_factory = partial(
+        OmniNet,
+        embedding_dim=embedding_dim,
+        jastrow_factory=None,
+        backflow_factory=partial(
+            Backflow,
+            subnet_factory=_mlp(['log', 1], False, True, nn.ssp, 'deeperwin'),
+        ),
+        nuclear_gnn_head=None,
+        gnn_factory=gnn_factory,
+    )
+    return NeuralNetworkWaveFunction(
+        hamil,
+        omni_factory=omni_factory,
+        envelope=partial(
+            ExponentialEnvelopes,
+            isotropic=True,
+            per_shell=False,
+            per_orbital_exponent=True,
+            spin_restricted=False,
+            init_to_ones=True,
+            softplus_zeta=True,
+        ),
+        backflow_op=partial(BackflowOp, mult_act=lambda x: x),
+        n_determinants=n_determinants,
+        full_determinant=full_determinant,
+        cusp_electrons=None,
+        cusp_nuclei=None,
+        backflow_transform='mult',
+        conf_coeff=nn.SumPool,
+    )
+
+
 _PRESETS = {
     'default': default_ansatz,
     'ferminet': ferminet_ansatz,
     'psiformer': psiformer_ansatz,
+    'deeperwin': deeperwin_ansatz,
 }
 
 

@@ -22,9 +22,52 @@ import numpy as np
 from ..hamil import MolecularHamiltonian
 from ..molecule import Molecule
 from .basis import build_basis
+from .casci import run_casci
 from .pretraining import pretrain  # noqa: F401
 from .pretraining_target import PretrainTarget  # noqa: F401
-from .scf import run_hf
+from .scf import compute_integrals, run_hf
+
+
+def _casci_confs(hamil, integrals, mo_coeff, cas, n_states, fix_spin):
+    """Per-state (confs, conf_coeffs) in the reference's determinant format."""
+    from .casci import _mo_eri
+
+    h_mo = mo_coeff.T @ integrals.Hcore @ mo_coeff
+    eri_mo = _mo_eri(integrals.eri, mo_coeff)
+    result = run_casci(
+        h_mo,
+        eri_mo,
+        integrals.e_nuc,
+        hamil.n_up,
+        hamil.n_down,
+        tuple(cas),
+        n_states=n_states,
+        fix_spin=fix_spin,
+    )
+    log.info(
+        'CASCI state energies: '
+        + ', '.join(f'{e:.6f}' for e in result.energies)
+        + ' Ha (S^2: '
+        + ', '.join(f'{s:.2f}' for s in result.s2)
+        + ')'
+    )
+    core = np.arange(result.n_core)
+    # [n_det, n_up + n_down]: up (core then active), then down, ascending
+    dets = np.concatenate(
+        [
+            np.tile(core, (len(result.up_occs), 1)),
+            result.up_occs + result.n_core,
+            np.tile(core, (len(result.down_occs), 1)),
+            result.down_occs + result.n_core,
+        ],
+        axis=-1,
+    )
+    confs, conf_coeffs = [], []
+    for coeffs in result.ci_coeffs:
+        order = np.argsort(-(coeffs**2))
+        confs.append(dets[order])
+        conf_coeffs.append(coeffs[order])
+    return np.stack(confs), np.stack(conf_coeffs)
 
 log = logging.getLogger(__name__)
 
@@ -43,20 +86,22 @@ def compute_scf_solution(
     state_avg: bool = True,
     **kwargs,
 ) -> dict:
-    """Hartree-Fock solutions for ``mols`` as a pretraining dataset.
+    """(CAS)SCF solutions for ``mols`` as a pretraining dataset.
 
-    ``cas`` (CASSCF active space) is accepted for config compatibility; the
-    in-house solver currently provides HF determinants only, so a CAS request
-    falls back to the HF ground-state determinant with a warning (all states
-    are then pretrained to the same target, which the reference also warns
-    about when no CAS is available, validate_kwargs.py:27-33).
+    Without ``cas``, every state's target is the HF ground-state determinant
+    (the reference behaves the same without CAS, pyscfext.py:272-280).  With
+    ``cas = (ncas, nelecas)``, a complete CI in the active space over the HF
+    orbitals (CASCI, :mod:`.casci`) supplies per-state multi-determinant
+    targets in the reference's format (confs_from_mc, pyscfext.py:174-209):
+    all determinants per root, sorted by descending CI weight, orbital
+    indices listed per spin channel as [core..., active...].
     """
     mols = mols if isinstance(mols, Sequence) else [mols]
-    if cas is not None:
-        log.warning(
-            'CASSCF pretraining targets are not yet available in the in-house'
-            ' SCF; falling back to the HF determinant for all states.'
-        )
+    if fix_spin is None and cas is not None and n_states > 1:
+        # target the Hamiltonian's own spin sector, like the reference's
+        # fcisolver.spin default
+        s = (hamil.n_up - hamil.n_down) / 2
+        fix_spin = s * (s + 1)
     chkpt_dir = f'{workdir}/scf_chkpts' if workdir else None
     if chkpt_dir:
         os.makedirs(chkpt_dir, exist_ok=True)
@@ -71,23 +116,54 @@ def compute_scf_solution(
             log.info(f'Restoring SCF solution from {chkfile}')
             with open(chkfile, 'rb') as f:
                 saved = pickle.load(f)
+            if saved.get('cas') != (tuple(cas) if cas else None) or saved.get(
+                'n_states', 1
+            ) < n_states:
+                raise ValueError(
+                    f'SCF checkpoint {chkfile} was computed with different'
+                    ' cas/n_states settings; remove it to recompute.'
+                )
             mo = saved['mo_coeff']
+            confs_i, conf_coeffs_i = saved['confs'], saved['conf_coeffs']
+            confs_i = confs_i[:n_states]
+            conf_coeffs_i = conf_coeffs_i[:n_states]
         else:
+            integrals = compute_integrals(
+                centers, np.asarray(hamil.ns_valence), shells
+            )
             result = run_hf(
                 centers,
                 np.asarray(hamil.ns_valence),
                 shells,
                 hamil.n_up,
                 hamil.n_down,
+                integrals=integrals,
             )
             mo = result.mo_coeff
+            if cas is not None:
+                confs_i, conf_coeffs_i = _casci_confs(
+                    hamil, integrals, mo, cas, n_states, fix_spin
+                )
+            else:
+                ground = list(range(hamil.n_up)) + list(range(hamil.n_down))
+                confs_i = np.asarray([[ground]] * n_states)
+                conf_coeffs_i = np.ones((n_states, 1))
             if chkfile:
                 with open(chkfile, 'wb') as f:
-                    pickle.dump({'mo_coeff': mo, 'e_tot': result.e_tot}, f)
+                    pickle.dump(
+                        {
+                            'mo_coeff': mo,
+                            'e_tot': result.e_tot,
+                            'cas': tuple(cas) if cas else None,
+                            'n_states': n_states,
+                            'confs': confs_i,
+                            'conf_coeffs': conf_coeffs_i,
+                        },
+                        f,
+                    )
         mo_coeffs.append(jnp.asarray(mo))
-        ground = list(range(hamil.n_up)) + list(range(hamil.n_down))
-        confs.append(jnp.asarray([[ground]] * n_states))  # [n_states, 1, n_el]
-        conf_coeffs.append(jnp.ones((n_states, 1)))
+        confs.append(jnp.asarray(confs_i))  # [n_states, n_det, n_el]
+        conf_coeffs.append(jnp.asarray(conf_coeffs_i))
 
     return {
         'centers': jnp.asarray(centers),

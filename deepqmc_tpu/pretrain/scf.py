@@ -9,7 +9,7 @@ its AO values without any overlap rescaling.
 """
 
 import logging
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import numpy as np
 
@@ -17,7 +17,7 @@ from .integrals import IntegralEngine
 
 log = logging.getLogger(__name__)
 
-__all__ = ['run_hf', 'HFResult']
+__all__ = ['run_hf', 'HFResult', 'Integrals', 'compute_integrals']
 
 
 class HFResult(NamedTuple):
@@ -25,6 +25,25 @@ class HFResult(NamedTuple):
     mo_energy: np.ndarray
     e_tot: float
     converged: bool
+
+
+class Integrals(NamedTuple):
+    """AO-basis integrals shared between HF and post-HF (CASCI) steps."""
+
+    S: np.ndarray
+    Hcore: np.ndarray
+    eri: np.ndarray  # chemist notation (pq|rs)
+    e_nuc: float
+
+
+def compute_integrals(centers, charges_for_potential, shells) -> Integrals:
+    engine = IntegralEngine(centers, shells)
+    return Integrals(
+        engine.overlap(),
+        engine.kinetic() + engine.nuclear(centers, charges_for_potential),
+        engine.eri(),
+        _nuclear_repulsion(centers, charges_for_potential),
+    )
 
 
 def _nuclear_repulsion(centers, charges) -> float:
@@ -84,15 +103,14 @@ def run_hf(
     *,
     max_iter: int = 200,
     tol: float = 1e-9,
+    integrals: Optional[Integrals] = None,
 ) -> HFResult:
     """Run (U)HF; ``charges_for_potential`` may be valence charges under ECPs."""
-    engine = IntegralEngine(centers, shells)
-    log.info(f'HF: {engine.n_ao} cartesian AOs, {n_up}+{n_down} electrons')
-    S = engine.overlap()
-    Hcore = engine.kinetic() + engine.nuclear(centers, charges_for_potential)
-    eri = engine.eri()
+    if integrals is None:
+        integrals = compute_integrals(centers, charges_for_potential, shells)
+    S, Hcore, eri, e_nuc = integrals
+    log.info(f'HF: {S.shape[0]} cartesian AOs, {n_up}+{n_down} electrons')
     X = _orthogonalizer(S)
-    e_nuc = _nuclear_repulsion(centers, charges_for_potential)
 
     def solve_fock(F):
         Fp = X.T @ F @ X

@@ -293,6 +293,45 @@ def _stop_gradient_rule(eqn, invals, n):
     return [_const(v.x)]
 
 
+def _use_pallas() -> bool:
+    import os
+
+    if os.environ.get('DEEPQMC_TPU_NO_PALLAS'):
+        return False
+    return jax.devices()[0].platform != 'cpu'
+
+
+def _mha_core_rule(invals, n):
+    """Fused rule for the attention core (nn.modules._mha_core).
+
+    Swaps per-primitive interpretation of logits/softmax/attended — whose
+    [3N, ...] Jacobian intermediates are what makes the local energy
+    HBM-bound — for one VMEM-resident kernel per walker
+    (ops/fl_attention.py).  Falls back to the pure-jnp twin off-TPU.
+    """
+    from .ops.fl_attention import mha_core_fl, mha_core_fl_tpu
+
+    q, k, v = invals
+    args = []
+    for val in (q, k, v):
+        args.append(val.x)
+    for val in (q, k, v):
+        args.append(_jac_of(val, n))
+    for val in (q, k, v):
+        args.append(_lap_of(val))
+    core = mha_core_fl_tpu if _use_pallas() else mha_core_fl
+    t, jt, lt = core(*args)
+    # _mha_core returns [head, token, head_dim]; the kernel works in
+    # [token, head, head_dim]
+    return [
+        FL(
+            jnp.swapaxes(t, 0, 1),
+            jnp.swapaxes(jt, 1, 2),
+            jnp.swapaxes(lt, 0, 1),
+        )
+    ]
+
+
 # --- primitive classification ----------------------------------------------
 
 PIECEWISE_LINEAR_NAMES = {
@@ -396,11 +435,20 @@ def _interpret(jaxpr, consts, args, n):
         elif prim.name in RULES:
             outs = RULES[prim.name](eqn, invals, n)
         elif prim.name in SUBJAXPR_NAMES:
-            sub = _find_subjaxpr(eqn.params)
-            sub_jaxpr, sub_consts = (
-                (sub.jaxpr, sub.consts) if hasattr(sub, 'jaxpr') else (sub, [])
-            )
-            outs = _interpret(sub_jaxpr, [*map(jnp.asarray, sub_consts)], invals, n)
+            if (
+                eqn.params.get('name') == '_mha_core'
+                and len(invals) == 3
+                and any(v.jac is not None for v in invals)
+            ):
+                outs = _mha_core_rule(invals, n)
+            else:
+                sub = _find_subjaxpr(eqn.params)
+                sub_jaxpr, sub_consts = (
+                    (sub.jaxpr, sub.consts) if hasattr(sub, 'jaxpr') else (sub, [])
+                )
+                outs = _interpret(
+                    sub_jaxpr, [*map(jnp.asarray, sub_consts)], invals, n
+                )
         elif prim.name in PIECEWISE_LINEAR_NAMES:
             outs = _linear_rule(eqn, invals, n)
         elif prim.name in NONDIFF_NAMES:

@@ -195,6 +195,24 @@ class Embed(Module):
         return table[idx]
 
 
+@jax.jit
+def _mha_core(q_h, k_h, v_h):
+    """softmax(q k^T / sqrt(dh)) v -> [head, token, head_dim].
+
+    Module-level jitted so it appears as a named pjit in traced programs;
+    the forward-Laplacian engine (fwdlap.py) recognizes the name and swaps
+    in the fused VMEM kernel (ops/fl_attention.py) instead of interpreting
+    the body primitive by primitive.
+    """
+    # [q,h,d] x [k,h,d] -> [h,q,k]  (contract d, batch h)
+    logits = jax.lax.dot_general(
+        q_h, k_h, (((2,), (2,)), ((1,), (1,)))
+    ) / jnp.sqrt(q_h.shape[-1]).astype(q_h.dtype)
+    weights = jax.nn.softmax(logits, axis=-1)
+    # [h,q,k] x [k,h,d] -> [h,q,d]  (contract k, batch h)
+    return jax.lax.dot_general(weights, v_h, (((2,), (0,)), ((0,), (1,))))
+
+
 class MultiHeadAttention(Module):
     """Standard multi-head dot-product attention over token axis -2.
 
@@ -234,17 +252,20 @@ class MultiHeadAttention(Module):
         # applied to the 3N-row forward-Laplacian Jacobian channel
         assert q.ndim == 2, 'attention operates per sample (vmap for batches)'
         q_h, k_h, v_h = self._proj(q, 'query'), self._proj(k, 'key'), self._proj(v, 'value')
-        # [q,h,d] x [k,h,d] -> [h,q,k]  (contract d, batch h)
-        logits = jax.lax.dot_general(
-            q_h, k_h, (((2,), (2,)), ((1,), (1,)))
-        ) / jnp.sqrt(self.key_size).astype(q_h.dtype)
-        if mask is not None:
+        if mask is None:
+            # the named-jit boundary lets the forward-Laplacian engine swap
+            # in the fused VMEM attention kernel (fwdlap.py + ops/fl_attention)
+            attended = _mha_core(q_h, k_h, v_h)
+        else:
+            logits = jax.lax.dot_general(
+                q_h, k_h, (((2,), (2,)), ((1,), (1,)))
+            ) / jnp.sqrt(self.key_size).astype(q_h.dtype)
             logits = jnp.where(mask, logits, -1e30)
-        weights = jax.nn.softmax(logits, axis=-1)
-        # [h,q,k] x [k,h,d] -> [h,q,d]  (contract k, batch h)
-        attended = jax.lax.dot_general(
-            weights, v_h, (((2,), (0,)), ((0,), (1,)))
-        )
+            weights = jax.nn.softmax(logits, axis=-1)
+            # [h,q,k] x [k,h,d] -> [h,q,d]  (contract k, batch h)
+            attended = jax.lax.dot_general(
+                weights, v_h, (((2,), (0,)), ((0,), (1,)))
+            )
         # output projection: contract (h, d) jointly against [h, d, out];
         # stored 2-D ([h*d, out]) so KFAC treats it as a regular dense layer
         w_out = get_param(

@@ -1,0 +1,269 @@
+"""Fused forward-Laplacian attention core.
+
+The trace-profiled eloc hot spot (scripts/trace_eloc.py) is the attention
+softmax core under the forward-Laplacian: every elementwise op and tiny
+matmul on the ``[walker, 3N, head, elec, elec|head_dim]`` Jacobian channel
+round-trips ~630 MB through HBM, making the local energy HBM-bandwidth
+bound.  This module computes the whole core — logits, softmax, attention
+application — for the (value, Jacobian, Laplacian) triple of a BLOCK of
+walkers in a single Pallas program, so Jacobian intermediates live in VMEM
+and HBM sees only the kernel's inputs and outputs.
+
+Implementations of the same math:
+
+- :func:`mha_core_fl` — pure jnp einsums; the CPU/f64 path and the
+  correctness oracle (tests pin it against the generic fwdlap rules and a
+  nested-autodiff Laplacian);
+- :func:`_mha_core_fl_2d` — the kernel body: per-head walker-batched 2-D
+  ``dot_general``s only (multi-dimensional contractions and minor-dim
+  reshapes are not implemented by the TPU Mosaic backend);
+- :func:`mha_core_fl_tpu` — ``custom_vmap`` wrapper: vmapping over walkers
+  dispatches to one ``pallas_call`` whose grid tiles the walker axis in
+  blocks of :data:`WALKER_BLOCK`.
+
+The forward-Laplacian rules mirror deepqmc_tpu/fwdlap.py exactly: the dot
+rule for q k^T and a v (first/cross/second-order terms), the exp closed
+form, and the div rule for the softmax normalization, with the numerically
+stabilizing max-shift under ``stop_gradient`` (a constant shift leaves all
+derivatives of softmax unchanged).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ['mha_core_fl', 'mha_core_fl_tpu']
+
+# walkers per Pallas program; VMEM use is ~10 jac-sized [K, n, dm] buffers
+# per walker (~3 MB at K=30, n=10, dm=256, f32) plus double buffering
+WALKER_BLOCK = 1
+
+
+def _softmax_fl(z, Jz, Lz, k_axis):
+    """softmax over the last axis of ``z`` with jac/lap channels.
+
+    ``Jz`` carries the Laplacian-direction axis at position ``k_axis``;
+    ``z``/``Lz`` lack that axis.
+    """
+    m = z - jax.lax.stop_gradient(z.max(axis=-1, keepdims=True))
+    e = jnp.exp(m)
+    e_k = jnp.expand_dims(e, k_axis)
+    Je = e_k * Jz
+    Le = e * (Lz + (Jz**2).sum(axis=k_axis))
+    s = e.sum(axis=-1, keepdims=True)
+    Js = Je.sum(axis=-1, keepdims=True)
+    Ls = Le.sum(axis=-1, keepdims=True)
+    inv_s = 1.0 / s
+    a = e * inv_s
+    Ja = (Je - jnp.expand_dims(a, k_axis) * Js) * jnp.expand_dims(inv_s, k_axis)
+    La = (
+        (Le - a * Ls) * inv_s
+        - 2 * inv_s**2 * (Je * Js).sum(axis=k_axis)
+        + 2 * a * inv_s**2 * (Js**2).sum(axis=k_axis)
+    )
+    return a, Ja, La
+
+
+def mha_core_fl(q, k, v, Jq, Jk, Jv, Lq, Lk, Lv):
+    """(attended, J, L) of softmax(q k^T / sqrt(dh)) v for ONE walker.
+
+    Shapes: primals [n, H, dh]; Jacobians [K, n, H, dh] with K the number of
+    Laplacian directions (3N electron coordinates); Laplacians like primals.
+    Returns the attended values in [n, H, dh] layout with matching channels.
+    """
+    scale = jnp.asarray(1.0, q.dtype) / jnp.sqrt(
+        jnp.asarray(q.shape[-1], q.dtype)
+    )
+    z = jnp.einsum('ihd,jhd->hij', q, k) * scale
+    Jz = (
+        jnp.einsum('Kihd,jhd->Khij', Jq, k)
+        + jnp.einsum('ihd,Kjhd->Khij', q, Jk)
+    ) * scale
+    Lz = (
+        jnp.einsum('ihd,jhd->hij', Lq, k)
+        + jnp.einsum('ihd,jhd->hij', q, Lk)
+        + 2 * jnp.einsum('Kihd,Kjhd->hij', Jq, Jk)
+    ) * scale
+    a, Ja, La = _softmax_fl(z, Jz, Lz, k_axis=0)
+    t = jnp.einsum('hij,jhd->ihd', a, v)
+    Jt = jnp.einsum('Khij,jhd->Kihd', Ja, v) + jnp.einsum(
+        'hij,Kjhd->Kihd', a, Jv
+    )
+    Lt = (
+        jnp.einsum('hij,jhd->ihd', La, v)
+        + jnp.einsum('hij,jhd->ihd', a, Lv)
+        + 2 * jnp.einsum('Khij,Kjhd->ihd', Ja, Jv)
+    )
+    return t, Jt, Lt
+
+
+def _bmm(a, b, contract):
+    """Walker-batched matmul: contract one dim, batch the leading dim."""
+    return jax.lax.dot_general(
+        a, b, ((contract[0], contract[1]), ((0,), (0,))),
+        preferred_element_type=a.dtype,
+    )
+
+
+def _mha_core_fl_2d(q, k, v, Jq, Jk, Jv, Lq, Lk, Lv):
+    """Walker-batched kernel body; Mosaic-compatible ops only.
+
+    Shapes: primals [W, n, H, dh]; Jacobians [W, K, n, H, dh].  All
+    contractions are single-dim ``dot_general``s batched over the walker
+    block W; reshapes merge/split only major dims; transposes touch either
+    minor pairs or [.., K, n, n]-sized arrays.
+    """
+    W, n, H, dh = q.shape
+    K = Jq.shape[1]
+    per_head = _make_head_fn(W, n, K, dh, q.dtype)
+    ts, jts, lts = [], [], []
+    for h in range(H):
+        t, jt, lt = per_head(
+            q[:, :, h], k[:, :, h], v[:, :, h],
+            Jq[..., h, :], Jk[..., h, :], Jv[..., h, :],
+            Lq[:, :, h], Lk[:, :, h], Lv[:, :, h],
+        )
+        ts.append(t)
+        jts.append(jt)
+        lts.append(lt)
+    t = jnp.stack(ts, axis=2)  # [W, n, H, dh]
+    jt = jnp.stack(jts, axis=3)  # [W, K, n, H, dh]
+    lt = jnp.stack(lts, axis=2)
+    return t, jt, lt
+
+
+def _make_head_fn(W, n, K, dh, dtype):
+    scale = jnp.asarray(1.0, dtype) / jnp.sqrt(jnp.asarray(dh, dtype))
+
+    def bcast(x):
+        """[W, n, d] -> [W*K, n, d]: replicate the primal per direction."""
+        return jnp.broadcast_to(x[:, None], (W, K, *x.shape[1:])).reshape(
+            W * K, *x.shape[1:]
+        )
+
+    def per_head(qh, kh, vh, jqh, jkh, jvh, lqh, lkh, lvh):
+        # every contraction is a (W- or W*K-)batched single-dim dot_general;
+        # primals are broadcast across the direction axis so NO transposes
+        # (Mosaic relayouts dominated earlier formulations) appear at all
+        q_b, k_b, v_b = bcast(qh), bcast(kh), bcast(vh)
+        jq_m = jqh.reshape(W * K, n, dh)
+        jk_m = jkh.reshape(W * K, n, dh)
+        jv_m = jvh.reshape(W * K, n, dh)
+
+        jq_f = jqh.reshape(W, K * n, dh)
+
+        z = _bmm(qh, kh, ((2,), (2,))) * scale  # [W, i, j]
+        jz = (
+            _bmm(jq_f, kh, ((2,), (2,))).reshape(W, K, n, n)
+            + _bmm(q_b, jk_m, ((2,), (2,))).reshape(W, K, n, n)
+        ) * scale
+        cross_z = _bmm(jq_m, jk_m, ((2,), (2,))).reshape(W, K, n, n).sum(1)
+        lz = (
+            _bmm(lqh, kh, ((2,), (2,)))
+            + _bmm(qh, lkh, ((2,), (2,)))
+            + 2 * cross_z
+        ) * scale
+
+        a, ja, la = _softmax_fl(z, jz, lz, k_axis=1)
+        a_b = bcast(a)
+        ja_m = ja.reshape(W * K, n, n)
+
+        t = _bmm(a, vh, ((2,), (1,)))  # [W, i, d]
+        jt = (
+            _bmm(ja.reshape(W, K * n, n), vh, ((2,), (1,))).reshape(
+                W, K, n, dh
+            )
+            + _bmm(a_b, jv_m, ((2,), (1,))).reshape(W, K, n, dh)
+        )
+        cross_t = _bmm(ja_m, jv_m, ((2,), (1,))).reshape(W, K, n, dh).sum(1)
+        lt = (
+            _bmm(la, vh, ((2,), (1,)))
+            + _bmm(a, lvh, ((2,), (1,)))
+            + 2 * cross_t
+        )
+        return t, jt, lt
+
+    return per_head
+
+
+def _kernel(q_ref, k_ref, v_ref, jq_ref, jk_ref, jv_ref, lq_ref, lk_ref,
+            lv_ref, t_ref, jt_ref, lt_ref):
+    # one head at a time, written straight to the output refs, to keep the
+    # kernel's peak VMEM at a single head's working set
+    W, n, H, dh = q_ref.shape
+    K = jq_ref.shape[1]
+    per_head = _make_head_fn(W, n, K, dh, q_ref.dtype)
+    for h in range(H):
+        t, jt, lt = per_head(
+            q_ref[:, :, h], k_ref[:, :, h], v_ref[:, :, h],
+            jq_ref[:, :, :, h], jk_ref[:, :, :, h], jv_ref[:, :, :, h],
+            lq_ref[:, :, h], lk_ref[:, :, h], lv_ref[:, :, h],
+        )
+        t_ref[:, :, h, :] = t
+        jt_ref[:, :, :, h, :] = jt
+        lt_ref[:, :, h, :] = lt
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def _pallas_blocked(q, k, v, Jq, Jk, Jv, Lq, Lk, Lv, interpret=False):
+    """Walker-batched pallas_call: grid tiles the leading walker axis."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B = q.shape[0]
+    W = min(WALKER_BLOCK, B)
+    pad = (-B) % W
+    if pad:
+        padding = [(0, pad)] + [(0, 0)] * (q.ndim - 1)
+        jpad = [(0, pad)] + [(0, 0)] * (Jq.ndim - 1)
+        q, k, v = (jnp.pad(x, padding) for x in (q, k, v))
+        Jq, Jk, Jv = (jnp.pad(x, jpad) for x in (Jq, Jk, Jv))
+        Lq, Lk, Lv = (jnp.pad(x, padding) for x in (Lq, Lk, Lv))
+    n_blocks = q.shape[0] // W
+
+    def pspec(shape):
+        return pl.BlockSpec(
+            (W, *shape[1:]),
+            lambda i: (i, *(0,) * (len(shape) - 1)),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_shape = (
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(Jq.shape, q.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+    )
+    t, jt, lt = pl.pallas_call(
+        _kernel,
+        grid=(n_blocks,),
+        out_shape=out_shape,
+        in_specs=[pspec(x.shape) for x in (q, k, v, Jq, Jk, Jv, Lq, Lk, Lv)],
+        out_specs=(pspec(q.shape), pspec(Jq.shape), pspec(q.shape)),
+        interpret=interpret,
+    )(q, k, v, Jq, Jk, Jv, Lq, Lk, Lv)
+    if pad:
+        t, jt, lt = t[:B], jt[:B], lt[:B]
+    return t, jt, lt
+
+
+@jax.custom_batching.custom_vmap
+def mha_core_fl_tpu(q, k, v, Jq, Jk, Jv, Lq, Lk, Lv):
+    """Pallas (VMEM-resident) version of :func:`mha_core_fl`, one walker.
+
+    vmapping over walkers dispatches to the blocked pallas_call so each
+    program handles :data:`WALKER_BLOCK` walkers.
+    """
+    t, jt, lt = _pallas_blocked(
+        q[None], k[None], v[None],
+        Jq[None], Jk[None], Jv[None],
+        Lq[None], Lk[None], Lv[None],
+    )
+    return t[0], jt[0], lt[0]
+
+
+@mha_core_fl_tpu.def_vmap
+def _mha_core_fl_tpu_vmap(axis_size, in_batched, *args):
+    assert all(in_batched), 'all attention core inputs must be walker-batched'
+    out = _pallas_blocked(*args)
+    return out, (True, True, True)

@@ -22,10 +22,7 @@ import jax.numpy as jnp
 
 
 def parse_xplane(tracedir, top=40):
-    try:
-        from xprof.protobuf import xplane_pb2
-    except ImportError:
-        from tensorboard_plugin_profile.protobuf import xplane_pb2
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
     paths = glob.glob(f'{tracedir}/**/*.xplane.pb', recursive=True)
     assert paths, f'no xplane.pb under {tracedir}'
     space = xplane_pb2.XSpace()

@@ -107,11 +107,27 @@ def _load_dir(ecp_dir: Path, ecp_type: str):
             register_ecp_params(ecp_type, z, n_core, local, nonlocal_)
 
 
+def _load_packaged(ecp_type: str):
+    """Register the verified tables shipped under ecp/tables/.
+
+    Files are named ``<SYM>.<ecp_type>.gamess``; see tables/README.md for
+    provenance and verification status of each.
+    """
+    tables = Path(__file__).parent / 'tables'
+    for f in sorted(tables.glob(f'*.{ecp_type}.gamess')):
+        sym, n_core, local, nonlocal_ = parse_gamess_ecp(f.read_text())
+        z = Z_OF.get(sym.lower())
+        if z and (ecp_type.lower(), z) not in _REGISTRY:
+            register_ecp_params(ecp_type, z, n_core, local, nonlocal_)
+
+
 def get_ecp_params(
     ecp_type: str, z: int, ecp_dir: Optional[str] = None
 ) -> tuple[int, list, list]:
     """Parameters (n_core, local, nonlocal) for one element, or raise."""
     key = (ecp_type.lower(), int(z))
+    if key not in _REGISTRY:
+        _load_packaged(ecp_type)
     if key not in _REGISTRY:
         ecp_dir = ecp_dir or os.environ.get('DEEPQMC_TPU_ECP_DIR')
         if ecp_dir:

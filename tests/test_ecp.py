@@ -1,3 +1,5 @@
+from pathlib import Path
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -129,3 +131,55 @@ def test_gamess_parser():
     assert local[1] == [[2.8, 6.5]]
     assert local[2] == [[2.0, -1.1]]
     assert nonlocal_ == [[[2.2, 3.0]]]
+
+
+# --- packaged parameter tables (ecp/tables/) --------------------------------
+
+REF_POTENTIAL = Path('/root/reference/tests/test_potential')
+
+
+@pytest.mark.skipif(not REF_POTENTIAL.exists(), reason='reference goldens absent')
+@pytest.mark.parametrize('ecp_type', ['bfd', 'ccECP'])
+def test_packaged_tables_against_reference_goldens(ecp_type):
+    """The packaged carbon tables reproduce the reference's golden values.
+
+    The golden local potential (f64, /root/reference/tests/test_potential/)
+    is evaluated at a bitwise-reproducible walker configuration; its
+    difference from the pure effective-Coulomb part isolates the Gaussian
+    local terms, validating the parameter table itself (the delta is ~3e-9
+    for bfd and consistent with zero for ccECP at these electron-nucleus
+    distances).
+    """
+    old = jax.config.jax_threefry_partitionable
+    jax.config.update('jax_threefry_partitionable', False)
+    try:
+        golden = float(
+            np.load(
+                REF_POTENTIAL / f'test_pseudo_potentials_C_{ecp_type}_.npz'
+            )['local_potential']
+        )
+        mol = Molecule.from_name('C')
+        h = MolecularHamiltonian(mol=mol, ecp_type=ecp_type)
+        pc = h.init_sample(jax.random.PRNGKey(0), mol.coords, 1, 1.0)[0]
+        got = float(h.potential.local_potential(pc))
+        # resolves the Gaussian terms: tolerance well below the bfd delta
+        assert got == pytest.approx(golden, abs=2e-12)
+    finally:
+        jax.config.update('jax_threefry_partitionable', old)
+
+
+def test_packaged_tables_out_of_the_box():
+    """C/N/O ccECP hamiltonians build with zero registration or env setup."""
+    for name, n_valence in (('C', 4), ('NH3', 5 + 3), ('H2O', 10 - 2)):
+        mol = Molecule.from_name(name)
+        h = MolecularHamiltonian(mol=mol, ecp_type='ccECP')
+        assert int(np.asarray(h.ns_valence).sum()) == n_valence
+        pc = h.init_sample(jax.random.PRNGKey(1), mol.coords, 2)
+        assert np.isfinite(
+            np.asarray(jax.vmap(h.potential.local_potential)(pc))
+        ).all()
+
+
+def test_unpackaged_element_raises():
+    with pytest.raises(ValueError, match='No .* ECP parameters'):
+        MolecularHamiltonian(mol=Molecule.from_name('ScO'), ecp_type='ccECP')

@@ -1,10 +1,14 @@
 """Accuracy + speed of the forward-Laplacian local energy vs matmul precision.
 
-Compiles the same eloc under jax.default_matmul_precision contexts
-('highest'/'high'/'default') and reports per-walker deviations from the
-'highest' result plus marginal timing (carry-perturbed scan, dispatch-free).
+One precision per process (set DEEPQMC_TPU_MATMUL_PRECISION before import so
+the global default applies everywhere, exactly as a real run would see it).
+Saves per-walker local energies to --out for cross-precision comparison and
+prints the amortized eloc time over --reps dispatches.
 
-Usage: python scripts/precision_eloc.py [--walkers N] [--mol H2O]
+Usage:
+  DEEPQMC_TPU_MATMUL_PRECISION=highest python scripts/precision_eloc.py --out /tmp/e_highest.npy
+  DEEPQMC_TPU_MATMUL_PRECISION=high    python scripts/precision_eloc.py --out /tmp/e_high.npy
+  python scripts/precision_eloc.py --compare /tmp/e_highest.npy /tmp/e_high.npy
 """
 
 import argparse
@@ -15,48 +19,42 @@ from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
 
+def compare(paths):
+    import numpy as np
 
-def marginal_ms(fn, x, k=4, reps=3):
-    """(T(k)-T(1))/(k-1) of fn applied to a carry-perturbed input."""
-
-    def scanned(K):
-        @jax.jit
-        def run(x):
-            def body(c, _):
-                out = fn(x + c * 1e-30)
-                return jnp.sum(out).astype(jnp.float32), None
-
-            return jax.lax.scan(body, jnp.float32(0), None, length=K)[0]
-
-        return run
-
-    f1, fk = scanned(1), scanned(k)
-    jax.block_until_ready(f1(x))
-    jax.block_until_ready(fk(x))
-    ts = []
-    for f, K in ((f1, 1), (fk, k)):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            jax.block_until_ready(f(x))
-        ts.append((time.perf_counter() - t0) / reps)
-    return (ts[1] - ts[0]) / (k - 1) * 1e3
+    ref = np.load(paths[0])
+    print(f'reference: {paths[0]}  mean {ref.mean():+.6f}  std {ref.std():.4f}')
+    for p in paths[1:]:
+        e = np.load(p)
+        dev = np.abs(e - ref)
+        print(
+            f'{p}: mean {e.mean():+.6f}  |dev| mean {dev.mean():.2e} '
+            f'max {dev.max():.2e}  mean-shift {e.mean() - ref.mean():+.2e}'
+        )
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('--walkers', type=int, default=512)
+    p.add_argument('--walkers', type=int, default=2048)
     p.add_argument('--mol', default='H2O')
     p.add_argument('--ansatz', default='psiformer')
+    p.add_argument('--reps', type=int, default=10)
+    p.add_argument('--out', default=None)
+    p.add_argument('--compare', nargs='+', default=None)
     args = p.parse_args()
+    if args.compare:
+        compare(args.compare)
+        return
+
+    import jax
+    import numpy as np
 
     import deepqmc_tpu as dq
     from deepqmc_tpu.presets import ansatz_preset
     from deepqmc_tpu.wf import init_wf_params, instantiate_ansatz
 
+    prec = os.environ.get('DEEPQMC_TPU_MATMUL_PRECISION', 'highest')
     hamil = dq.MolecularHamiltonian(mol=dq.Molecule.from_name(args.mol))
     ansatz = instantiate_ansatz(hamil, ansatz_preset(args.ansatz))
     params = jax.tree_util.tree_map(
@@ -68,26 +66,24 @@ def main():
     le = hamil.local_energy(ansatz.apply)
     rng = jax.random.PRNGKey(3)
 
-    results = {}
-    for prec in ('highest', 'high', 'default'):
-        with jax.default_matmul_precision(prec):
+    @jax.jit
+    def eloc_batch(pc):
+        return jax.vmap(partial(le, rng, params))(pc)[0]
 
-            @jax.jit
-            def eloc_batch(r):
-                pc_ = pc.replace(r=r)
-                return jax.vmap(partial(le, rng, params))(pc_)[0]
-
-            E = np.asarray(jax.block_until_ready(eloc_batch(pc.r)))
-            ms = marginal_ms(lambda r: eloc_batch(r), pc.r)
-        results[prec] = (E, ms)
-        ref = results['highest'][0]
-        dev = np.abs(E - ref)
-        print(
-            f'{prec:8s}: eloc {ms:7.1f} ms   E mean {E.mean():+.6f}  '
-            f'std {E.std():.4f}   |dev| mean {dev.mean():.2e} '
-            f'max {dev.max():.2e}',
-            flush=True,
-        )
+    E = jax.block_until_ready(eloc_batch(pc))
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        E = eloc_batch(pc)
+    jax.block_until_ready(E)
+    ms = (time.perf_counter() - t0) / args.reps * 1e3
+    E = np.asarray(E)
+    print(
+        f'precision {prec:8s}: eloc {ms:7.1f} ms  '
+        f'E mean {E.mean():+.6f} std {E.std():.4f}',
+        flush=True,
+    )
+    if args.out:
+        np.save(args.out, E)
 
 
 if __name__ == '__main__':

@@ -179,10 +179,15 @@ def cli(argv: Optional[list[str]] = None):
     """Entry point: ``python -m deepqmc_tpu key=value group=option ...``."""
     argv = sys.argv[1:] if argv is None else argv
     workdir = None
+    slurm_mode = None
     overrides = []
     for arg in argv:
         if arg.startswith('--workdir='):
             workdir = arg.split('=', 1)[1]
+        elif arg in ('--slurm', '--slurm-dry'):
+            # submit (or just render, with --slurm-dry) this run as a SLURM
+            # batch job instead of running it in-process
+            slurm_mode = arg
         elif arg.startswith('--platform='):
             # sitecustomize may pre-import jax with another platform; the
             # config route still switches backends reliably
@@ -196,6 +201,17 @@ def cli(argv: Optional[list[str]] = None):
         else:
             overrides.append(arg)
     cfg = compose(overrides=overrides)
+    if slurm_mode:
+        from .slurm import submit
+
+        logging.basicConfig(level=logging.INFO)
+        submit(
+            workdir or cfg['task'].get('workdir') or str(Path.cwd()),
+            overrides,
+            cfg.get('slurm'),
+            dry_run=slurm_mode == '--slurm-dry',
+        )
+        return
     try:
         main(cfg, workdir=workdir)
     except KeyboardInterrupt:

@@ -16,6 +16,8 @@ wave-function statistics are recorded every step; additional observable
 monitors run on the last step of each block.
 """
 
+import logging
+import os
 import time
 from collections.abc import Generator, Iterable
 from functools import partial
@@ -34,6 +36,13 @@ from .types import Ansatz, KeyArray, Stats, TrainState
 from .utils import split_dict
 
 __all__ = ()
+
+log = logging.getLogger(__name__)
+
+# capture a device trace of this (0-based) post-compile block when set;
+# inspect with tensorboard or scripts/trace_eloc.py's xplane parser
+PROFILE_DIR_ENV = 'DEEPQMC_TPU_PROFILE_DIR'
+PROFILE_BLOCK = 1
 
 
 def fit_wf(  # noqa: C901
@@ -184,6 +193,8 @@ def fit_wf(  # noqa: C901
 
     steps_iter = iter(steps)
     rngs_iter = rng_iterator(rng)
+    profile_dir = os.environ.get(PROFILE_DIR_ENV)
+    block_counter = 0
     done = False
     while not done:
         block_steps = []
@@ -201,7 +212,14 @@ def fit_wf(  # noqa: C901
         mol_idxs_block = jnp.stack(
             [molecule_idx_sampler.sample() for _ in range(k)]
         )
-        carry, (outputs, heavy) = train_block(rngs, mol_idxs_block, carry)
+        if profile_dir and block_counter == PROFILE_BLOCK:
+            log.info(f'Capturing jax.profiler trace of block {block_counter}')
+            with jax.profiler.trace(profile_dir):
+                carry, (outputs, heavy) = train_block(rngs, mol_idxs_block, carry)
+                jax.block_until_ready(outputs)
+        else:
+            carry, (outputs, heavy) = train_block(rngs, mol_idxs_block, carry)
+        block_counter += 1
         train_state = carry[0]
         # the heavy per-step phys_confs stay on device; only the last step's
         # configuration feeds the periodic monitors

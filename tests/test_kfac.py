@@ -170,3 +170,72 @@ def test_kfac_trains_h2(helpers):
     assert np.isfinite(energies).all()
     assert energies[-10:].mean() < energies[:5].mean() - 0.03
     assert -1.5 < energies[-10:].mean() < -0.7
+
+
+def test_kfac_repeated_dense_matches_kronecker_semantics(helpers):
+    """A dense layer vmapped within a sample (the RepeatedDenseBlock case,
+    reference kfacext.py:57-100): factors must be the per-repetition moments
+    over [batch * repeats] with curvature scale R, i.e. the update must equal
+    (A + pi*s)^-1 @ [W;b] @ (G + s/pi)^-1 / R with s = sqrt(damping / R) and
+    per-repetition A = E[aa^T], G = E[gg^T] computed here by hand."""
+    R_REPS, D_IN, D_OUT, N = 4, 3, 5, 64
+    u = jax.random.normal(helpers.rng(10), (D_OUT,))
+
+    def f(phys_conf, return_mos=False):
+        x = phys_conf.r  # [R_REPS, 3] -- the layer sees a leading rep axis
+        out = nn.Linear(D_OUT, name='rep')(x)  # [R_REPS, D_OUT]
+        return Psi(jnp.array(1.0), (u * jnp.tanh(out)).sum())
+
+    ansatz = nn.transform(f)
+    r = jax.random.normal(helpers.rng(0), (1, 1, N, R_REPS, D_IN))
+    pc = PhysicalConfiguration(
+        jnp.zeros((1, 1, N, 1, 3)), r, jnp.zeros((1, 1, N), dtype=jnp.int32)
+    )
+    batch = (pc, jnp.ones((1, 1, N)), {})
+    params = ansatz.init(helpers.rng(1), pc[0, 0, 0])
+
+    def loss_fn(params_list, rng, batch):
+        pc, *_ = batch
+        logs = jax.vmap(lambda p: ansatz.apply(params_list[0], p).log)(
+            jax.tree_util.tree_map(lambda x: x[0, 0], pc)
+        )
+        return logs.mean(), (logs, None, {})
+
+    damping = 1e-2
+    kfac = KFAC(
+        jax.value_and_grad(loss_fn, has_aux=True),
+        learning_rate_schedule=ConstantSchedule(1.0),
+        damping_schedule=ConstantSchedule(damping),
+        norm_constraint=1e12,
+        curvature_ema=0.0,
+    )
+    kfac.bind_ansatz(ansatz)
+    state = kfac.init(helpers.rng(2), [params], batch)
+    new_params, *_ = kfac.step(helpers.rng(3), [params], state, batch)
+    got = jnp.concatenate(
+        [
+            params['rep']['w'] - new_params[0]['rep']['w'],
+            (params['rep']['b'] - new_params[0]['rep']['b'])[None],
+        ]
+    )
+
+    # hand-computed factors: a = [x;1], g = d logpsi / d out = u*(1-tanh^2)
+    x = np.asarray(r[0, 0].reshape(N * R_REPS, D_IN))
+    a = np.concatenate([x, np.ones((len(x), 1))], axis=1)
+    out = x @ np.asarray(params['rep']['w']) + np.asarray(params['rep']['b'])
+    g = np.asarray(u) * (1 - np.tanh(out) ** 2)  # d sum(logpsi) / d out
+    A = a.T @ a / len(a)
+    G = g.T @ g / len(g)
+    lam = damping / R_REPS
+    pi = np.sqrt((np.trace(A) / A.shape[0]) / (np.trace(G) / G.shape[0]))
+    A_d = A + (pi * np.sqrt(lam) + 1e-12) * np.eye(A.shape[0])
+    G_d = G + (np.sqrt(lam) / pi + 1e-12) * np.eye(G.shape[0])
+    # KFAC preconditions the actual loss gradient
+    (_, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        [params], None, batch
+    )
+    grad = np.concatenate(
+        [np.asarray(grads[0]['rep']['w']), np.asarray(grads[0]['rep']['b'])[None]]
+    )
+    expected = np.linalg.solve(A_d, grad @ np.linalg.inv(G_d)) / R_REPS
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-5, atol=1e-10)

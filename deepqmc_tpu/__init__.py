@@ -26,6 +26,19 @@ jax.config.update(
     _os.environ.get('DEEPQMC_TPU_MATMUL_PRECISION', 'highest'),
 )
 
+# persistent compilation cache: the forward-Laplacian training step is a
+# large XLA program (remote compiles can take minutes on tunneled TPU
+# runtimes); cache compiled executables across processes unless disabled
+if not _os.environ.get('DEEPQMC_TPU_NO_COMPILE_CACHE'):
+    jax.config.update(
+        'jax_compilation_cache_dir',
+        _os.environ.get(
+            'DEEPQMC_TPU_COMPILE_CACHE',
+            _os.path.expanduser('~/.cache/deepqmc_tpu/jax'),
+        ),
+    )
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 10.0)
+
 maybe_init_multi_host()
 
 __all__ = [

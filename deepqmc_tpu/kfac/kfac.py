@@ -135,8 +135,11 @@ class KFAC:
     # -- curvature estimation ---------------------------------------------
 
     def _factor_stats(self, params, phys_conf_flat):
-        """Per-layer (A, G) factor statistics over a flat sample batch."""
-        metas = self._layer_meta
+        """Per-layer (A, G) factor statistics over a flat sample batch.
+
+        Standalone estimation path (one instrumented forward + backward);
+        used when the loss does not expose fused curvature taps.
+        """
         n_batch = len(phys_conf_flat.r)
 
         def logpsi_sum_and_caps(perturb):
@@ -155,12 +158,15 @@ class KFAC:
             m.path: [
                 jnp.zeros((n_batch, *shape)) for shape in m.out_shapes
             ]
-            for m in metas
+            for m in self._layer_meta
         }
         grads, caps = jax.grad(logpsi_sum_and_caps, has_aux=True)(perturb)
+        return self._stats_from_taps(caps, grads)
 
+    def _stats_from_taps(self, caps, grads):
+        """Kronecker factor moments from captured activations/sensitivities."""
         stats = {}
-        for m in metas:
+        for m in self._layer_meta:
             A = jnp.zeros((m.in_dim + (1 if m.has_bias else 0),) * 2)
             G = jnp.zeros((m.out_dim, m.out_dim))
             total = 0
@@ -227,18 +233,35 @@ class KFAC:
         lr = self.lr_schedule(step)
         damping = jnp.maximum(self.damping_schedule(step), self.min_damping)
 
-        (loss, aux), grads_list = self.loss_and_grad_fn(params_list, rng, batch)
+        # fused path: the VMC loss reuses its own log-psi pullback residuals
+        # for the curvature taps, saving an instrumented forward+backward
+        loss_obj = getattr(self.loss_and_grad_fn, '__self__', None)
+        if loss_obj is not None and hasattr(loss_obj, 'value_grad_and_taps'):
+            taps_spec = {m.path: list(m.out_shapes) for m in metas}
+            (loss, aux), grads_list, taps = loss_obj.value_grad_and_taps(
+                params_list, rng, batch, taps_spec
+            )
+            per_state_stats = [
+                self._stats_from_taps(caps, sens) for caps, sens in taps
+            ]
+        else:
+            (loss, aux), grads_list = self.loss_and_grad_fn(
+                params_list, rng, batch
+            )
+            per_state_stats = []
+            for s, params in enumerate(params_list):
+                # all samples of state s across molecules and walkers
+                pc_s = jax.tree_util.tree_map(
+                    lambda x: x[:, s].reshape(-1, *x.shape[3:]), phys_conf
+                )
+                per_state_stats.append(self._factor_stats(params, pc_s))
 
         # --- update curvature factors (EMA over steps) ---
         ema = self.curvature_ema
         new_weight = ema * opt_state['ema_weight'] + (1 - ema)
         factors = []
-        for s, params in enumerate(params_list):
-            # all samples of electronic state s across molecules and walkers
-            pc_s = jax.tree_util.tree_map(
-                lambda x: x[:, s].reshape(-1, *x.shape[3:]), phys_conf
-            )
-            stats = self._factor_stats(params, pc_s)
+        for s in range(len(params_list)):
+            stats = per_state_stats[s]
             old = opt_state['factors'][s]
             factors.append(
                 {

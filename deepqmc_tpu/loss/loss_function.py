@@ -189,6 +189,23 @@ class VMCLoss:
         return loss, (local_energy, psi_ratio, stats)
 
     def value_and_grad(self, params, rng, batch):
+        return self._value_grad_taps(params, rng, batch, None)[:2]
+
+    def value_grad_and_taps(self, params, rng, batch, taps_spec):
+        """Loss, gradient, AND per-layer curvature taps in one shared pass.
+
+        ``taps_spec`` maps dense-layer path -> list of single-sample output
+        shapes (one per call of that layer).  The log-psi pullback used for
+        the VMC gradient is built over the *instrumented* forward, and its
+        residuals are reused for a second cotangent (all-ones), so the KFAC
+        activation/sensitivity taps cost one extra backward instead of a
+        whole separate instrumented forward+backward pass.  Returns
+        ``((loss, aux), grads, taps)`` with ``taps[state] = (captures,
+        sensitivities)``.
+        """
+        return self._value_grad_taps(params, rng, batch, taps_spec)
+
+    def _value_grad_taps(self, params, rng, batch, taps_spec):
         phys_conf, weight, data = batch
         loss, local_energy, psi_ratio, spin_contributions, stats = (
             self._evaluate_terms(params, rng, batch)
@@ -235,16 +252,42 @@ class VMCLoss:
         )
 
         # pull c back to parameter space: one vjp of log|psi| per state
-        grads = []
+        grads, taps = [], []
         for i, state_params in enumerate(params):
             conf_i = _state_phys_conf(phys_conf, i)
-            _, pullback = jax.vjp(
-                partial(_batched_log_psi, self.ansatz, conf_i), state_params
-            )
-            (grad_i,) = pullback(cotangent[:, i].reshape(-1))
+            cot_i = cotangent[:, i].reshape(-1)
+            if taps_spec is None:
+                _, pullback = jax.vjp(
+                    partial(_batched_log_psi, self.ansatz, conf_i), state_params
+                )
+                (grad_i,) = pullback(cot_i)
+            else:
+                perturb = {
+                    path: [
+                        jnp.zeros((len(cot_i), *shape)) for shape in shapes
+                    ]
+                    for path, shapes in taps_spec.items()
+                }
+
+                def fwd(p, pert, conf_i=conf_i):
+                    def single(pc, pert_1):
+                        psi, caps = self.ansatz.apply_instrumented(p, pert_1, pc)
+                        return psi.log, {
+                            k: [x for x, _ in v] for k, v in caps.items()
+                        }
+
+                    return jax.vmap(single)(conf_i, pert)
+
+                (_, pullback, captures) = jax.vjp(
+                    fwd, state_params, perturb, has_aux=True
+                )
+                grad_i, _ = pullback(cot_i)
+                # same residuals, all-ones cotangent: d sum(log psi) / d pert
+                _, sensitivities = pullback(jnp.ones_like(cot_i))
+                taps.append((captures, sensitivities))
             grads.append(grad_i)
 
-        return (loss, (local_energy, psi_ratio, stats)), grads
+        return (loss, (local_energy, psi_ratio, stats)), grads, taps
 
 
 def create_loss_fn(

@@ -99,10 +99,16 @@ def mha_core_fl(q, k, v, Jq, Jk, Jv, Lq, Lk, Lv):
 
 
 def _bmm(a, b, contract):
-    """Walker-batched matmul: contract one dim, batch the leading dim."""
+    """Walker-batched matmul: contract one dim, batch the leading dim.
+
+    Precision is pinned to HIGHEST (true f32): Mosaic only lowers
+    DEFAULT/HIGHEST, so the kernel must not inherit a global 'high' default,
+    and the attention logits/Laplacian cross terms want full f32 anyway.
+    """
     return jax.lax.dot_general(
         a, b, ((contract[0], contract[1]), ((0,), (0,))),
         preferred_element_type=a.dtype,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

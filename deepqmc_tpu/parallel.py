@@ -112,23 +112,11 @@ def replicate_on_devices(tree, mesh: Optional[Mesh] = None):
     )
 
 
-def select_one_device(tree, idx: int = 0):
-    """Identity in the global-array design; kept for API parity.
-
-    In the reference, arrays carry a leading device axis that must be stripped
-    (parallel.py:96-104); global sharded arrays don't.
-    """
-    return tree
-
 
 def gather_on_host(tree):
     """Fetch fully-addressable host copies of (possibly sharded) arrays."""
     return jax.tree_util.tree_map(lambda x: jax.device_get(x), tree)
 
-
-def split_rng_key_to_devices(rng):
-    """Identity: with a single jitted step we thread one global key."""
-    return rng
 
 
 def rng_iterator(rng):

@@ -107,56 +107,50 @@ class SpinMonitor(ObservableMonitor):
         return self
 
 
-class BareForceMonitor(ObservableMonitor):
-    name = 'hf_force_bare'
+class ForceMonitor(ObservableMonitor):
+    """Hellmann-Feynman force estimator monitor (one of five variants).
+
+    ``kind`` selects the estimator from :mod:`deepqmc_tpu.force`: the bare
+    Coulomb estimator, the antithetic-coordinate zero-variance ('ac_zv'),
+    its zero-bias extension ('ac_zvzb', needs local energies), and their
+    Q-function counterparts.
+    """
+
+    KINDS = {
+        'bare': ('evaluate_hf_force_bare', False),
+        'ac_zv': ('evaluate_hf_force_ac_zv', False),
+        'ac_zvzb': ('evaluate_hf_force_ac_zvzb', True),
+        'ac_zvq': ('evaluate_hf_force_ac_zvq', False),
+        'ac_zvzbq': ('evaluate_hf_force_ac_zvzbq', True),
+    }
+
+    def __init__(self, kind: str, save_samples: bool, period: int):
+        super().__init__(save_samples, period)
+        assert kind in self.KINDS, f'unknown force estimator {kind!r}'
+        self.kind = kind
+        self.name = f'hf_force_{kind}'
 
     def finalize(self, hamil, wf):
-        from .force import evaluate_hf_force_bare
+        from . import force
 
-        self.observable_fn = evaluate_hf_force_bare(hamil)
+        builder_name, self.requires_energy = self.KINDS[self.kind]
+        builder = getattr(force, builder_name)
+        self.observable_fn = (
+            builder(hamil) if self.kind == 'bare' else builder(hamil, wf)
+        )
         return self
 
 
-class ACZVForceMonitor(ObservableMonitor):
-    name = 'hf_force_ac_zv'
-
-    def finalize(self, hamil, wf):
-        from .force import evaluate_hf_force_ac_zv
-
-        self.observable_fn = evaluate_hf_force_ac_zv(hamil, wf)
-        return self
+def _force_monitor_alias(kind):
+    return partial(ForceMonitor, kind)
 
 
-class ACZVZBForceMonitor(ObservableMonitor):
-    name = 'hf_force_ac_zvzb'
-
-    def finalize(self, hamil, wf):
-        from .force import evaluate_hf_force_ac_zvzb
-
-        self.observable_fn = evaluate_hf_force_ac_zvzb(hamil, wf)
-        self.requires_energy = True
-        return self
-
-
-class ACZVQForceMonitor(ObservableMonitor):
-    name = 'hf_force_ac_zvq'
-
-    def finalize(self, hamil, wf):
-        from .force import evaluate_hf_force_ac_zvq
-
-        self.observable_fn = evaluate_hf_force_ac_zvq(hamil, wf)
-        return self
-
-
-class ACZVZBQForceMonitor(ObservableMonitor):
-    name = 'hf_force_ac_zvzbq'
-
-    def finalize(self, hamil, wf):
-        from .force import evaluate_hf_force_ac_zvzbq
-
-        self.observable_fn = evaluate_hf_force_ac_zvzbq(hamil, wf)
-        self.requires_energy = True
-        return self
+# config-compatible constructor names (reference observable.py:187-297)
+BareForceMonitor = _force_monitor_alias('bare')
+ACZVForceMonitor = _force_monitor_alias('ac_zv')
+ACZVZBForceMonitor = _force_monitor_alias('ac_zvzb')
+ACZVQForceMonitor = _force_monitor_alias('ac_zvq')
+ACZVZBQForceMonitor = _force_monitor_alias('ac_zvzbq')
 
 
 class EnergyMonitor(ObservableMonitor):

@@ -119,13 +119,8 @@ class NeuralNetworkWaveFunction(nn.Module):
         fs_add = fs_add.squeeze(axis=0) if fs_add is not None else None
         return self.backflow_op(xs, fs_mult, fs_add, dists_nuc)
 
-    def __call__(self, phys_conf, return_mos: bool = False):
-        diffs_nuc = pairwise_diffs(phys_conf.r, phys_conf.R)
-        dists_nuc = jnp.sqrt(diffs_nuc[..., -1])
-        dists_elec = pairwise_self_distance(phys_conf.r, full=True)
-        jastrow, fs, nuc_params = (
-            self.omni(phys_conf) if self.omni else (None, None, None)
-        )
+    def _spin_orbitals(self, phys_conf, fs, nuc_params, dists_nuc):
+        """Per-spin orbital matrices [n_det, n_spin, n_orb] incl. backflow."""
         orb = self.envelope(phys_conf, nuc_params)  # [n_det, n_el, n_orb]
         orb_up, orb_down = (
             (orb, orb)
@@ -137,8 +132,10 @@ class NeuralNetworkWaveFunction(nn.Module):
         if fs is not None:
             orb_up = self._apply_backflow(orb_up, fs[0], dists_nuc[: self.n_up])
             orb_down = self._apply_backflow(orb_down, fs[1], dists_nuc[self.n_up :])
-        if return_mos:
-            return orb_up, orb_down
+        return orb_up, orb_down
+
+    def _determinant_mix(self, orb_up, orb_down):
+        """Slater determinants -> exp-normalized linear combination."""
         if self.full_determinant:
             sign, logdet = eval_log_slater(
                 jnp.concatenate([orb_up, orb_down], axis=-2)
@@ -150,10 +147,11 @@ class NeuralNetworkWaveFunction(nn.Module):
         # exp-normalize across determinants, guarding fully -inf batches
         shift = logdet.max()
         shift = jnp.where(~jnp.isinf(shift), shift, jnp.zeros_like(shift))
-        dets = sign * jnp.exp(logdet - shift)
-        psi = self.conf_coeff(dets).squeeze()
-        log_psi = jnp.log(jnp.abs(psi)) + shift
-        sign_psi = jax.lax.stop_gradient(jnp.sign(psi))
+        psi = self.conf_coeff(sign * jnp.exp(logdet - shift)).squeeze()
+        return jax.lax.stop_gradient(jnp.sign(psi)), jnp.log(jnp.abs(psi)) + shift
+
+    def _log_corrections(self, log_psi, jastrow, dists_nuc, dists_elec):
+        """Additive log-psi terms: electronic/nuclear cusps and the Jastrow."""
         if self.cusp_electrons:
             same_dists = jnp.concatenate(
                 [triu_flat(dists_elec[idxs, idxs]) for idxs in self.spin_slices],
@@ -165,4 +163,18 @@ class NeuralNetworkWaveFunction(nn.Module):
             log_psi += self.cusp_nuclei(dists_nuc)
         if jastrow is not None:
             log_psi = log_psi + jastrow
+        return log_psi
+
+    def __call__(self, phys_conf, return_mos: bool = False):
+        diffs_nuc = pairwise_diffs(phys_conf.r, phys_conf.R)
+        dists_nuc = jnp.sqrt(diffs_nuc[..., -1])
+        dists_elec = pairwise_self_distance(phys_conf.r, full=True)
+        jastrow, fs, nuc_params = (
+            self.omni(phys_conf) if self.omni else (None, None, None)
+        )
+        orb_up, orb_down = self._spin_orbitals(phys_conf, fs, nuc_params, dists_nuc)
+        if return_mos:
+            return orb_up, orb_down
+        sign_psi, log_psi = self._determinant_mix(orb_up, orb_down)
+        log_psi = self._log_corrections(log_psi, jastrow, dists_nuc, dists_elec)
         return Psi(sign_psi, log_psi)

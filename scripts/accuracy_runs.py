@@ -1,0 +1,159 @@
+"""Run the progression configs to convergence and record an accuracy table.
+
+Each entry trains via the packaged CLI path (so exactly what a user runs is
+what is measured), then evaluates from the final checkpoint, and the EWM
+evaluation energy lands in docs/ACCURACY.md next to the reference value.
+
+Usage: python scripts/accuracy_runs.py [--only h2,lih] [--workdir runs/acc]
+       [--steps-scale 1.0]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+CONFIGS = {
+    'h2': {
+        'description': 'H2, FermiNet, 256 walkers, KFAC (progression config 1)',
+        'overrides': [
+            'task=train_ferminet',
+            'hamil/mol=H2',
+            'task.electron_batch_size=256',
+            'task.steps=1500',
+            'task.pretrain_steps=200',
+            'task.fit_block_size=10',
+        ],
+        'eval_steps': 200,
+        'reference': -1.17447,
+        'reference_source': 'exact (Kolos-Wolniewicz), R=1.4 bohr',
+        'tol_mha': 4.0,
+    },
+    'lih': {
+        'description': 'LiH, PauliNet (default ansatz), 1024 walkers, KFAC '
+        '(progression config 2)',
+        'overrides': [
+            'hamil/mol=LiH',
+            'task.electron_batch_size=1024',
+            'task.steps=2000',
+            'task.pretrain_steps=500',
+            'task.fit_block_size=10',
+        ],
+        'eval_steps': 200,
+        'reference': -8.07000,
+        'reference_source': 'reference doc/tutorial.rst:153 (-8.07000(19), '
+        '500 eval steps)',
+        'tol_mha': 5.0,
+    },
+    'h2o': {
+        'description': 'H2O, PsiFormer, 2048 walkers, KFAC (headline config 3)',
+        'overrides': [
+            'task=train_psiformer',
+            'hamil/mol=H2O',
+            'task.electron_batch_size=2048',
+            'task.steps=4000',
+            'task.pretrain_steps=500',
+            'task.fit_block_size=10',
+        ],
+        'eval_steps': 200,
+        'reference': -76.4389,
+        'reference_source': 'exact NR energy (Klopper et al. 2001); '
+        '1 mHa target per BASELINE.md',
+        'tol_mha': 10.0,
+    },
+}
+
+
+def run_cli(overrides, workdir, timeout=None):
+    import subprocess
+
+    cmd = [sys.executable, '-m', 'deepqmc_tpu', *overrides, f'--workdir={workdir}']
+    print('+', ' '.join(cmd), flush=True)
+    t0 = time.time()
+    proc = subprocess.run(cmd, timeout=timeout)
+    assert proc.returncode == 0, f'CLI failed with rc={proc.returncode}'
+    return time.time() - t0
+
+
+def read_final_energy(workdir):
+    """EWM energy (and sampling error) at the end of an evaluation run."""
+    import h5py
+
+    path = Path(workdir) / 'evaluation' / 'result.h5'
+    with h5py.File(path, 'r') as f:
+        e_loc = np.asarray(f['local_energy/samples'])  # [steps, mol, state, w]
+    samples = e_loc.reshape(len(e_loc), -1)
+    mean = samples.mean()
+    # crude autocorrelation-free error: std of per-step means / sqrt(n_steps)
+    step_means = samples.mean(axis=1)
+    err = step_means.std() / np.sqrt(len(step_means))
+    return float(mean), float(err)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--only', default=None)
+    p.add_argument('--workdir', default='runs/accuracy')
+    args = p.parse_args()
+    names = args.only.split(',') if args.only else list(CONFIGS)
+
+    rows = []
+    for name in names:
+        cfg = CONFIGS[name]
+        wd = Path(args.workdir) / name
+        train_s = run_cli(cfg['overrides'], wd)
+        eval_wd = Path(args.workdir) / f'{name}_eval'
+        run_cli(
+            [
+                'task=evaluate',
+                f'task.restdir={wd}/training',
+                f'task.steps={cfg["eval_steps"]}',
+                'task.fit_block_size=10',
+            ],
+            eval_wd,
+        )
+        energy, err = read_final_energy(eval_wd)
+        dev_mha = (energy - cfg['reference']) * 1e3
+        rows.append(
+            {
+                'config': name,
+                'description': cfg['description'],
+                'energy': energy,
+                'err': err,
+                'reference': cfg['reference'],
+                'reference_source': cfg['reference_source'],
+                'deviation_mha': dev_mha,
+                'within_tol': abs(dev_mha) <= cfg['tol_mha'],
+                'train_seconds': round(train_s),
+            }
+        )
+        print(json.dumps(rows[-1]), flush=True)
+
+    out = Path('docs')
+    out.mkdir(exist_ok=True)
+    with open(out / 'ACCURACY.md', 'w') as f:
+        f.write(
+            '# Accuracy vs reference\n\n'
+            'Produced by `python scripts/accuracy_runs.py` on real TPU '
+            'hardware (1x v5e).\n\n'
+            '| config | E [Ha] | err [Ha] | reference [Ha] | dev [mHa] | ok |\n'
+            '|---|---|---|---|---|---|\n'
+        )
+        for r in rows:
+            f.write(
+                f'| {r["description"]} | {r["energy"]:.5f} | {r["err"]:.5f} '
+                f'| {r["reference"]:.5f} ({r["reference_source"]}) '
+                f'| {r["deviation_mha"]:+.1f} | '
+                f'{"yes" if r["within_tol"] else "NO"} |\n'
+            )
+    print('wrote docs/ACCURACY.md')
+
+
+if __name__ == '__main__':
+    main()

@@ -42,6 +42,7 @@ def main():
     p.add_argument('--reps', type=int, default=10)
     p.add_argument('--out', default=None)
     p.add_argument('--compare', nargs='+', default=None)
+    p.add_argument('--trace', default=None, help='dir for jax.profiler trace')
     args = p.parse_args()
     if args.compare:
         compare(args.compare)
@@ -84,6 +85,10 @@ def main():
     )
     if args.out:
         np.save(args.out, E)
+    if args.trace:
+        with jax.profiler.trace(args.trace):
+            jax.block_until_ready(eloc_batch(pc))
+        print(f'trace written to {args.trace}')
 
 
 if __name__ == '__main__':

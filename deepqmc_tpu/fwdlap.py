@@ -277,6 +277,15 @@ def _slogdet_rule(eqn, invals, n):
     from .ops.slogdet import _inv
 
     (v,) = invals
+    if v.x.ndim == 3 and _use_pallas():
+        # the fused VMEM-resident kernel (ops/fl_slogdet.py) computes the
+        # whole rule per walker block; [K, D] jac layout -> [D] leading
+        from .ops.fl_slogdet import slogdet_fl_tpu
+
+        sign, logdet, jout, lout = slogdet_fl_tpu(
+            v.x, _jac_of(v, n), _lap_of(v)
+        )
+        return [_const(sign), FL(logdet, jout, lout)]
     sign, logdet = slogdet_p.bind(v.x)
     inv_a = _inv(v.x)
     # J log|det| = tr(A^-1 J_A)

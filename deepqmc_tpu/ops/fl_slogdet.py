@@ -1,0 +1,161 @@
+"""Fused forward-Laplacian log-determinant kernel.
+
+Trace profiling (scripts/precision_eloc.py --trace) shows the eloc is
+dominated by XLA memory-space copies around the determinant path: the
+rule's ``m = A^-1 J_k`` intermediate ([walker, 3N, n_det, n, n] — hundreds
+of MB) round-trips HBM, and the [walker, 3N, n_det, n, n] Jacobian channel
+gets relayouted (multi-ms async copies each) on entry and exit of the
+einsum chain.  This kernel computes the contraction-heavy tail of the
+slogdet forward-Laplacian rule
+
+    J_k log|det A| = tr(A^-1 J_k),
+    L log|det A|   = tr(A^-1 L_A) - sum_k tr((A^-1 J_k)^2)
+
+for a BLOCK of walkers inside one Pallas program: the trace terms are
+walker-batched single-contraction ``dot_general``s (Mosaic-compatible, as
+in ops/fl_attention.py) over VMEM-resident blocks, so HBM sees only
+A^-1/J/L in and the tiny per-det outputs out — no ``m`` tensor, no
+relayouts.  The inverse/sign/logdet themselves are O(n^3) on tiny
+matrices and stay on the existing XLA path (ops/linalg_small.py); a
+pivoted elimination inside the kernel does not legalize in Mosaic
+(argmax/f32->i32 materialization).
+
+``slogdet_fl`` is the pure-jnp twin (CPU/f64 path and correctness oracle);
+``slogdet_fl_tpu`` is the ``custom_vmap`` wrapper dispatching walker batches
+to the blocked ``pallas_call``.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .linalg_small import inv_small, slogdet_small
+
+__all__ = ['slogdet_fl', 'slogdet_fl_tpu']
+
+WALKER_BLOCK = 8
+
+
+def slogdet_fl(a, ja, la):
+    """FL rule for slogdet of ONE walker: a [D,n,n], ja [K,D,n,n], la [D,n,n].
+
+    Returns (sign [D], logdet [D], j_logdet [K,D], l_logdet [D]); the math
+    mirrors fwdlap._slogdet_rule exactly.
+    """
+    sign, logdet = slogdet_small(a)
+    inv_a = inv_small(a)
+    jout = jnp.einsum('dij,kdji->kd', inv_a, ja)
+    m = jnp.einsum('dij,kdjl->kdil', inv_a, ja)
+    lout = jnp.einsum('dij,dji->d', inv_a, la) - jnp.einsum(
+        'kdij,kdji->d', m, m
+    )
+    return sign, logdet, jout, lout
+
+
+def _bmm(x, y, contract):
+    """Batched (leading-dim) single-contraction dot, full-f32 on the MXU."""
+    return jax.lax.dot_general(
+        x, y, ((contract[0], contract[1]), ((0,), (0,))),
+        preferred_element_type=x.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _kernel(inv_ref, invt_ref, j_ref, l_ref, jout_ref, lout_ref):
+    # one (walker-block, determinant) pair per program — the grid walks the
+    # determinant axis so the working set stays a few MB of VMEM; every
+    # intermediate stays rank>=2 (rank-1 vectors crash this Mosaic
+    # toolchain, layout.h implicit_dim check)
+    W, _, n, _ = inv_ref.shape
+    K = j_ref.shape[1]
+    eye = jnp.eye(n, dtype=inv_ref.dtype)
+    inv_d = inv_ref[:, 0]  # [W, n, n]
+    # tr(A^-1 L_A) = sum_ij (A^-T * L_A)_ij — elementwise on the VPU
+    lout_d = (
+        (invt_ref[:, 0] * l_ref[:, 0]).sum(axis=2).sum(axis=1, keepdims=True)
+    )  # [W, 1]
+    # fold K into the leading batch dim (leading-dim reshapes are the only
+    # shape casts Mosaic supports; minor-dim merges are not)
+    j_d = j_ref[:, :, 0].reshape(W * K, n, n)
+    inv_rep = jnp.broadcast_to(inv_d[:, None], (W, K, n, n)).reshape(
+        W * K, n, n
+    )
+    m = _bmm(inv_rep, j_d, ((2,), (1,)))  # [W*K, n, n] = A^-1 J_k
+    jout_ref[0] = (m * eye).sum(axis=2).reshape(W, K, n).sum(axis=2)
+    # sum_k tr(m_k m_k) via one more batched GEMM (k in the batch dim)
+    q = _bmm(m, m, ((2,), (1,)))
+    tr_q = (
+        (q * eye).sum(axis=2).reshape(W, K, n).sum(axis=2).sum(
+            axis=1, keepdims=True
+        )
+    )  # [W, 1]
+    lout_ref[0] = lout_d - tr_q
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def _pallas_blocked(a, ja, la, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, D, n, _ = a.shape
+    K = ja.shape[1]
+    sign, logdet = slogdet_small(a)
+    inv_a = inv_small(a)
+    inv_t = jnp.swapaxes(inv_a, -1, -2)
+
+    W = min(WALKER_BLOCK, B)
+    pad = (-B) % W
+    if pad:
+        padb = lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        inv_a, inv_t, ja, la = map(padb, (inv_a, inv_t, ja, la))
+    n_blocks = inv_a.shape[0] // W
+    Bp = inv_a.shape[0]
+
+    vmem = pltpu.VMEM
+    mat_spec = pl.BlockSpec(
+        (W, 1, n, n), lambda i, d: (i, d, 0, 0), memory_space=vmem
+    )
+    jac_spec = pl.BlockSpec(
+        (W, K, 1, n, n), lambda i, d: (i, 0, d, 0, 0), memory_space=vmem
+    )
+    # outputs carry D leading (the last two block dims must be full or
+    # (8,128)-divisible); transposed back after the call — they are tiny
+    jout, lout = pl.pallas_call(
+        _kernel,
+        grid=(n_blocks, D),
+        out_shape=(
+            jax.ShapeDtypeStruct((D, Bp, K), a.dtype),  # jac
+            jax.ShapeDtypeStruct((D, Bp, 1), a.dtype),  # lap
+        ),
+        in_specs=[mat_spec, mat_spec, jac_spec, mat_spec],
+        out_specs=(
+            pl.BlockSpec(
+                (1, W, K), lambda i, d: (d, i, 0), memory_space=vmem
+            ),
+            pl.BlockSpec(
+                (1, W, 1), lambda i, d: (d, i, 0), memory_space=vmem
+            ),
+        ),
+        interpret=interpret,
+    )(inv_a, inv_t, ja, la)
+    jout = jnp.transpose(jout, (1, 2, 0))  # [Bp, K, D]
+    lout = jnp.transpose(lout[..., 0], (1, 0))  # [Bp, D]
+    if pad:
+        jout, lout = jout[:B], lout[:B]
+    return sign, logdet, jout, lout
+
+
+@jax.custom_batching.custom_vmap
+def slogdet_fl_tpu(a, ja, la):
+    """Pallas version of :func:`slogdet_fl`; one walker per call, vmap for
+    batches (dispatches whole walker batches to one blocked pallas_call)."""
+    sign, logdet, jout, lout = _pallas_blocked(a[None], ja[None], la[None])
+    return sign[0], logdet[0], jout[0], lout[0]
+
+
+@slogdet_fl_tpu.def_vmap
+def _slogdet_fl_tpu_vmap(axis_size, in_batched, a, ja, la):
+    assert all(in_batched), 'all slogdet FL inputs must be walker-batched'
+    out = _pallas_blocked(a, ja, la)
+    return out, (True, True, True, True)

@@ -1,0 +1,76 @@
+"""Fused forward-Laplacian slogdet kernel (ops/fl_slogdet.py).
+
+Pins the pure-jnp twin to the fwdlap interpreter's einsum rule (via a
+nested-autodiff Laplacian oracle) and the Pallas kernel (interpret mode) to
+the twin.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepqmc_tpu.ops.fl_slogdet import _pallas_blocked, slogdet_fl
+from deepqmc_tpu.physics import loop_laplacian
+
+
+def _random_problem(n_dets=3, n=4, k=7, seed=0, dtype=jnp.float64):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(k,)), dtype)
+    w1 = jnp.asarray(rng.normal(size=(k, n_dets, n, n)) / k, dtype)
+    w2 = jnp.asarray(rng.normal(size=(n_dets, n, n)), dtype)
+
+    def mats_of(xvec):
+        # nonlinear map so the jacobian and laplacian are both nontrivial
+        return jnp.tanh(jnp.einsum('K,Kdij->dij', xvec, w1)) + w2 * (
+            1 + (xvec**2).sum()
+        )
+
+    return x, mats_of
+
+
+def _fl_inputs(x, mats_of):
+    k = x.shape[0]
+    a = mats_of(x)
+    jac = jax.jacfwd(mats_of)(x)  # [d, i, j, K]
+    ja = jnp.moveaxis(jac, -1, 0)  # [K, d, i, j]
+    # laplacian of each matrix entry: trace of the per-entry Hessian
+    flat = lambda xv: mats_of(xv).reshape(-1)
+    hess = jax.hessian(flat)(x)  # [a.size, K, K]
+    lap_entries = jnp.trace(hess, axis1=-2, axis2=-1).reshape(a.shape)
+    return a, ja, lap_entries
+
+
+def test_twin_matches_nested_autodiff():
+    """slogdet_fl's (jac, lap) of log|det| match a nested-autodiff oracle."""
+    x, mats_of = _random_problem()
+    a, ja, la = _fl_inputs(x, mats_of)
+    sign, logdet, jout, lout = slogdet_fl(a, ja, la)
+
+    def logdet_of(xv):
+        return jnp.linalg.slogdet(mats_of(xv))[1]
+
+    for d in range(a.shape[0]):
+        lap_d, grad_d = loop_laplacian(lambda xv, d=d: logdet_of(xv)[d])(x)
+        np.testing.assert_allclose(np.asarray(jout[:, d]), grad_d, rtol=1e-9)
+        np.testing.assert_allclose(float(lout[d]), float(lap_d), rtol=1e-8)
+    s_ref, l_ref = jnp.linalg.slogdet(a)
+    np.testing.assert_allclose(np.asarray(sign), np.asarray(s_ref))
+    np.testing.assert_allclose(
+        np.asarray(logdet), np.asarray(l_ref), rtol=1e-12
+    )
+
+
+@pytest.mark.parametrize('batch', [1, 5, 16])
+def test_pallas_kernel_matches_twin(batch):
+    """The blocked kernel (interpret mode) equals the jnp twin, incl. the
+    walker-padding path (batch not a multiple of the block)."""
+    problems = [_random_problem(seed=s) for s in range(batch)]
+    inputs = [_fl_inputs(x, f) for x, f in problems]
+    a = jnp.stack([i[0] for i in inputs])
+    ja = jnp.stack([i[1] for i in inputs])
+    la = jnp.stack([i[2] for i in inputs])
+    got = _pallas_blocked(a, ja, la, interpret=True)
+    want = jax.vmap(slogdet_fl)(a, ja, la)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-10)

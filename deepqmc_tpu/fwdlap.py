@@ -47,6 +47,27 @@ class FL(NamedTuple):
     lap: Optional[Any]
 
 
+class FLRowBlocks(NamedTuple):
+    """FL value whose Jacobian is kept as row blocks of a concatenation.
+
+    Produced only for ``concatenate`` eqns whose sole consumer is the
+    ``slogdet`` primitive (the full-determinant ansatz concatenates up/down
+    orbital blocks right before the determinant): the primal/Laplacian are
+    concatenated eagerly (small), but the [K, ...]-sized Jacobian stays in
+    pieces so the fused kernel can consume them without materializing the
+    concatenated Jacobian in HBM.
+    """
+
+    x: Any
+    jac_blocks: tuple
+    lap: Any
+
+    @property
+    def jac(self):
+        # non-None marker: a deferred concat is never a constant
+        return self.jac_blocks
+
+
 def _const(x):
     return FL(x, None, None)
 
@@ -277,6 +298,21 @@ def _slogdet_rule(eqn, invals, n):
     from .ops.slogdet import _inv
 
     (v,) = invals
+    if isinstance(v, FLRowBlocks):
+        import os
+
+        if (
+            v.x.ndim == 3
+            and _use_pallas()
+            and not os.environ.get('DEEPQMC_TPU_NO_SPLIT_SLOGDET')
+        ):
+            from .ops.fl_slogdet import slogdet_fl_split_tpu
+
+            sign, logdet, jout, lout = slogdet_fl_split_tpu(
+                v.x, *v.jac_blocks, v.lap
+            )
+            return [_const(sign), FL(logdet, jout, lout)]
+        v = FL(v.x, jnp.concatenate(v.jac_blocks, axis=-2), v.lap)
     if v.x.ndim == 3 and _use_pallas():
         # the fused VMEM-resident kernel (ops/fl_slogdet.py) computes the
         # whole rule per walker block; [K, D] jac layout -> [D] leading
@@ -416,6 +452,40 @@ def _find_subjaxpr(params):
     raise KeyError(f'no sub-jaxpr found among params: {list(params)}')
 
 
+def _deferred_concat_eqns(jaxpr):
+    """ids of 2-operand row-concat eqns consumed ONLY by a slogdet eqn.
+
+    For these the Jacobian concatenation can be deferred into the fused
+    determinant kernel (see :class:`FLRowBlocks`).
+    """
+    use_count: dict = {}
+    producer: dict = {}
+    for eqn in jaxpr.eqns:
+        for iv in eqn.invars:
+            if not isinstance(iv, jex_core.Literal):
+                use_count[iv] = use_count.get(iv, 0) + 1
+        for ov in eqn.outvars:
+            producer[ov] = eqn
+    outvars = {v for v in jaxpr.outvars if not isinstance(v, jex_core.Literal)}
+    deferred = set()
+    for eqn in jaxpr.eqns:
+        if eqn.primitive is not slogdet_p:
+            continue
+        src = eqn.invars[0]
+        if isinstance(src, jex_core.Literal) or src in outvars:
+            continue
+        peqn = producer.get(src)
+        if (
+            peqn is not None
+            and peqn.primitive.name == 'concatenate'
+            and len(peqn.invars) == 2
+            and peqn.params.get('dimension') == src.aval.ndim - 2
+            and use_count.get(src) == 1
+        ):
+            deferred.add(id(peqn))
+    return deferred
+
+
 def _interpret(jaxpr, consts, args, n):
     env = {}
 
@@ -432,10 +502,18 @@ def _interpret(jaxpr, consts, args, n):
     for var, arg in zip(jaxpr.invars, args):
         write(var, arg)
 
+    deferred_concats = _deferred_concat_eqns(jaxpr)
+
     for eqn in jaxpr.eqns:
         prim = eqn.primitive
         invals = [read(x) for x in eqn.invars]
-        if all(v.jac is None for v in invals):
+        if id(eqn) in deferred_concats and any(
+            v.jac is not None for v in invals
+        ):
+            x = prim.bind(*[v.x for v in invals], **eqn.params)
+            lap = prim.bind(*[_lap_of(v) for v in invals], **eqn.params)
+            outs = [FLRowBlocks(x, tuple(_jac_of(v, n) for v in invals), lap)]
+        elif all(v.jac is None for v in invals):
             outs = prim.bind(*[v.x for v in invals], **eqn.params)
             outs = outs if prim.multiple_results else [outs]
             outs = [_const(o) for o in outs]

@@ -37,7 +37,9 @@ __all__ = ['mha_core_fl', 'mha_core_fl_tpu']
 
 # walkers per Pallas program; VMEM use is ~10 jac-sized [K, n, dm] buffers
 # per walker (~3 MB at K=30, n=10, dm=256, f32) plus double buffering
-WALKER_BLOCK = 1
+import os as _os
+
+WALKER_BLOCK = int(_os.environ.get('DEEPQMC_TPU_ATTN_WALKER_BLOCK', '1'))
 
 
 def _softmax_fl(z, Jz, Lz, k_axis):
@@ -247,6 +249,16 @@ def _pallas_blocked(q, k, v, Jq, Jk, Jv, Lq, Lk, Lv, interpret=False):
         in_specs=[pspec(x.shape) for x in (q, k, v, Jq, Jk, Jv, Lq, Lk, Lv)],
         out_specs=(pspec(q.shape), pspec(Jq.shape), pspec(q.shape)),
         interpret=interpret,
+        **(
+            {}
+            if interpret
+            else {
+                'compiler_params': pltpu.CompilerParams(
+                    dimension_semantics=('arbitrary',),
+                    vmem_limit_bytes=100 * 1024 * 1024,
+                )
+            }
+        ),
     )(q, k, v, Jq, Jk, Jv, Lq, Lk, Lv)
     if pad:
         t, jt, lt = t[:B], jt[:B], lt[:B]

@@ -32,7 +32,12 @@ import jax.numpy as jnp
 
 from .linalg_small import inv_small, slogdet_small
 
-__all__ = ['slogdet_fl', 'slogdet_fl_tpu']
+__all__ = [
+    'slogdet_fl',
+    'slogdet_fl_tpu',
+    'slogdet_fl_split',
+    'slogdet_fl_split_tpu',
+]
 
 WALKER_BLOCK = 8
 
@@ -144,6 +149,134 @@ def _pallas_blocked(a, ja, la, interpret=False):
     if pad:
         jout, lout = jout[:B], lout[:B]
     return sign, logdet, jout, lout
+
+
+def slogdet_fl_split(a, ju, jd, la):
+    """:func:`slogdet_fl` with the Jacobian in row blocks (jnp twin).
+
+    ``a``/``la`` are the full [D,n,n] matrices; ``ju``/``jd`` carry the
+    Jacobian of the top/bottom row block ([K,D,nu,n] / [K,D,nd,n]) — the
+    layout the full-determinant ansatz produces (up/down orbitals
+    concatenated along rows, wf/nn_wave_function.py _determinant_mix).
+    """
+    return slogdet_fl(a, jnp.concatenate([ju, jd], axis=-2), la)
+
+
+def _split_kernel(
+    il_ref, ir_ref, invt_ref, ju_ref, jd_ref, l_ref, jout_ref, lout_ref
+):
+    # like _kernel, but m = A^-1 J is accumulated from the two row blocks:
+    # m = A^-1[:, :nu] @ J_up + A^-1[:, nu:] @ J_down; the column halves
+    # arrive pre-split (il/ir) so no minor-dim slicing happens in-kernel
+    W, _, n, nu = il_ref.shape
+    nd = ir_ref.shape[3]
+    K = ju_ref.shape[1]
+    eye = jnp.eye(n, dtype=il_ref.dtype)
+    lout_d = (
+        (invt_ref[:, 0] * l_ref[:, 0]).sum(axis=2).sum(axis=1, keepdims=True)
+    )  # [W, 1]
+    ju_d = ju_ref[:, :, 0].reshape(W * K, nu, n)
+    jd_d = jd_ref[:, :, 0].reshape(W * K, nd, n)
+    il_rep = jnp.broadcast_to(il_ref[:, 0][:, None], (W, K, n, nu)).reshape(
+        W * K, n, nu
+    )
+    ir_rep = jnp.broadcast_to(ir_ref[:, 0][:, None], (W, K, n, nd)).reshape(
+        W * K, n, nd
+    )
+    m = _bmm(il_rep, ju_d, ((2,), (1,))) + _bmm(ir_rep, jd_d, ((2,), (1,)))
+    jout_ref[0] = (m * eye).sum(axis=2).reshape(W, K, n).sum(axis=2)
+    q = _bmm(m, m, ((2,), (1,)))
+    tr_q = (
+        (q * eye).sum(axis=2).reshape(W, K, n).sum(axis=2).sum(
+            axis=1, keepdims=True
+        )
+    )  # [W, 1]
+    lout_ref[0] = lout_d - tr_q
+
+
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def _pallas_blocked_split(a, ju, jd, la, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, D, n, _ = a.shape
+    K = ju.shape[1]
+    nu, nd = ju.shape[3], jd.shape[3]
+    sign, logdet = slogdet_small(a)
+    inv_a = inv_small(a)
+    inv_t = jnp.swapaxes(inv_a, -1, -2)
+    inv_l, inv_r = inv_a[..., :nu], inv_a[..., nu:]
+
+    W = min(WALKER_BLOCK, B)
+    pad = (-B) % W
+    if pad:
+        padb = lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        inv_l, inv_r, inv_t, ju, jd, la = map(
+            padb, (inv_l, inv_r, inv_t, ju, jd, la)
+        )
+    n_blocks = inv_t.shape[0] // W
+    Bp = inv_t.shape[0]
+
+    vmem = pltpu.VMEM
+
+    def mat_spec(cols):
+        return pl.BlockSpec(
+            (W, 1, n, cols), lambda i, d: (i, d, 0, 0), memory_space=vmem
+        )
+
+    def jac_spec(rows):
+        return pl.BlockSpec(
+            (W, K, 1, rows, n), lambda i, d: (i, 0, d, 0, 0), memory_space=vmem
+        )
+
+    jout, lout = pl.pallas_call(
+        _split_kernel,
+        grid=(n_blocks, D),
+        out_shape=(
+            jax.ShapeDtypeStruct((D, Bp, K), a.dtype),  # jac
+            jax.ShapeDtypeStruct((D, Bp, 1), a.dtype),  # lap
+        ),
+        in_specs=[
+            mat_spec(nu),
+            mat_spec(nd),
+            mat_spec(n),
+            jac_spec(nu),
+            jac_spec(nd),
+            mat_spec(n),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, W, K), lambda i, d: (d, i, 0), memory_space=vmem
+            ),
+            pl.BlockSpec(
+                (1, W, 1), lambda i, d: (d, i, 0), memory_space=vmem
+            ),
+        ),
+        interpret=interpret,
+    )(inv_l, inv_r, inv_t, ju, jd, la)
+    jout = jnp.transpose(jout, (1, 2, 0))  # [Bp, K, D]
+    lout = jnp.transpose(lout[..., 0], (1, 0))  # [Bp, D]
+    if pad:
+        jout, lout = jout[:B], lout[:B]
+    return sign, logdet, jout, lout
+
+
+@jax.custom_batching.custom_vmap
+def slogdet_fl_split_tpu(a, ju, jd, la):
+    """Pallas version of :func:`slogdet_fl_split`; one walker per call, vmap
+    for batches (dispatches whole walker batches to one blocked
+    pallas_call)."""
+    sign, logdet, jout, lout = _pallas_blocked_split(
+        a[None], ju[None], jd[None], la[None]
+    )
+    return sign[0], logdet[0], jout[0], lout[0]
+
+
+@slogdet_fl_split_tpu.def_vmap
+def _slogdet_fl_split_tpu_vmap(axis_size, in_batched, a, ju, jd, la):
+    assert all(in_batched), 'all slogdet FL inputs must be walker-batched'
+    out = _pallas_blocked_split(a, ju, jd, la)
+    return out, (True, True, True, True)
 
 
 @jax.custom_batching.custom_vmap

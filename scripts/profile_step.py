@@ -114,7 +114,11 @@ def main():
         'energy_ewm': jnp.full((1, 1), jnp.nan),
         'std_ewm': jnp.full((1, 1), jnp.nan),
     }
-    lag_j = jax.jit(lambda r, p, batch: lag(p, r, batch))
+    from deepqmc_tpu.utils import tree_unstack
+
+    # the loss takes a per-state params LIST (the optimizers unstack the
+    # stacked tree before calling it, optimizer.py:48/71/112)
+    lag_j = jax.jit(lambda r, p, batch: lag(tree_unstack(p), r, batch))
     _, t_lag = timed(
         'loss value+grad (E_loc + vjp)', lag_j, rng, params, (phys_conf, weight, data)
     )

@@ -44,9 +44,37 @@ def parse_xplane(tracedir, top=40):
                 counts[name] += 1
         if totals:
             rows.append((plane.name, totals, counts))
+    def category(name):
+        # async copy-start/-done events span their whole DMA window and
+        # overlap compute — bucket them separately so they don't read as
+        # serialized core time
+        head = name.split(' ', 1)[0].lstrip('%')
+        base = head.split('.', 1)[0]
+        if base in ('copy-start', 'copy-done', 'all-gather-start',
+                    'all-gather-done', 'collective-permute-start',
+                    'collective-permute-done'):
+            return 'async-copy-window'
+        if 'pallas' in name or 'custom-call' in name or base == 'custom-call':
+            return 'pallas/custom-call'
+        if base in ('fusion', 'loop_fusion', 'input_fusion', 'output_fusion'):
+            return 'fusion'
+        if base == 'copy':
+            return 'sync-copy'
+        if base in ('convolution', 'dot', 'dot_general'):
+            return 'matmul'
+        return base
+
     for plane_name, totals, counts in rows:
         grand = sum(totals.values())
         print(f'== {plane_name}: total {grand:.1f} ms ==')
+        cats = collections.Counter()
+        for name, ms in totals.items():
+            cats[category(name)] += ms
+        sync = sum(ms for c, ms in cats.items() if c != 'async-copy-window')
+        print(json.dumps({'serialized_total_ms': round(sync, 1)}))
+        for cat, ms in cats.most_common(12):
+            print(json.dumps({'category': cat, 'ms': round(ms, 2),
+                              'pct_of_serial': round(100 * ms / max(sync, 1e-9), 1)}))
         for name, ms in totals.most_common(top):
             print(
                 json.dumps(

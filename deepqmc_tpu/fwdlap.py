@@ -346,33 +346,104 @@ def _use_pallas() -> bool:
     return jax.devices()[0].platform != 'cpu'
 
 
-def _mha_core_rule(invals, n):
-    """Fused rule for the attention core (nn.modules._mha_core).
+def _use_block_kernel() -> bool:
+    import os
+
+    if os.environ.get('DEEPQMC_TPU_BLOCK_KERNEL_INTERPRET'):
+        # testing hook: exercise the in-kernel interpreter (pallas interpret
+        # mode) on CPU, where the real kernel path is otherwise off
+        return True
+    # opt-in while the in-kernel attention contractions still lower to
+    # Mosaic batch loops (slower than the per-op kernels; see ops/fl_block.py)
+    if not os.environ.get('DEEPQMC_TPU_BLOCK_KERNEL'):
+        return False
+    return _use_pallas()
+
+
+def _try_block_rule(eqn, invals, n):
+    """Whole-block fused rule for named-jit units (nn.named_jit_block).
+
+    Returns None when the block is not fusable (multiple varying inputs,
+    unsupported primitive, tracer consts) — the caller then falls back to
+    per-primitive interpretation, so coverage is opportunistic and
+    correctness unconditional.
+    """
+    from .ops.fl_block import Unsupported, block_fl_call, block_jaxpr_supported
+
+    closed = eqn.params['jaxpr']
+    var_mask = [v.jac is not None for v in invals]
+    if sum(var_mask) != 1 or len(closed.jaxpr.outvars) != 1:
+        return None
+    try:
+        if not block_jaxpr_supported(closed, var_mask):
+            return None
+    except Unsupported:
+        return None
+    vi = var_mask.index(True)
+    v = invals[vi]
+    consts = [u.x for i, u in enumerate(invals) if i != vi]
+
+    import os
+
+    interp = bool(os.environ.get('DEEPQMC_TPU_BLOCK_KERNEL_INTERPRET'))
+
+    @jax.custom_batching.custom_vmap
+    def run(x, jac, lap, *cs):
+        xo, jo, lo = block_fl_call(
+            closed, n, vi, x[None], jac[None], lap[None], list(cs),
+            interpret=interp,
+        )
+        return xo[0], jo[0], lo[0]
+
+    @run.def_vmap
+    def _run_vmap(axis_size, in_batched, x, jac, lap, *cs):
+        assert in_batched[0] and in_batched[1] and in_batched[2]
+        assert not any(in_batched[3:]), 'block params must be unbatched'
+        out = block_fl_call(
+            closed, n, vi, x, jac, lap, list(cs), interpret=interp
+        )
+        return out, (True, True, True)
+
+    try:
+        xo, jo, lo = run(v.x, _jac_of(v, n), _lap_of(v), *consts)
+    except Unsupported:
+        return None
+    return [FL(xo, jo, lo)]
+
+
+def _mha_core_flat_rule(invals, n, num_heads):
+    """Fused rule for the attention core (nn.modules._mha_core_flat).
 
     Swaps per-primitive interpretation of logits/softmax/attended — whose
     [3N, ...] Jacobian intermediates are what makes the local energy
     HBM-bound — for one VMEM-resident kernel per walker
     (ops/fl_attention.py).  Falls back to the pure-jnp twin off-TPU.
+    The core is head-flat [token, H*dh]; the head split/merge here is a
+    row-major bitcast, free in XLA.
     """
     from .ops.fl_attention import mha_core_fl, mha_core_fl_tpu
 
     q, k, v = invals
+    tok, dm = q.x.shape
+    dh = dm // num_heads
+
+    def heads(x):
+        return x.reshape(*x.shape[:-1], num_heads, dh)
+
     args = []
     for val in (q, k, v):
-        args.append(val.x)
+        args.append(heads(val.x))
     for val in (q, k, v):
-        args.append(_jac_of(val, n))
+        args.append(heads(_jac_of(val, n)))
     for val in (q, k, v):
-        args.append(_lap_of(val))
+        args.append(heads(_lap_of(val)))
     core = mha_core_fl_tpu if _use_pallas() else mha_core_fl
-    t, jt, lt = core(*args)
-    # _mha_core returns [head, token, head_dim]; the kernel works in
-    # [token, head, head_dim]
+    t, jt, lt = core(*args)  # [token, head, dh] (+ jac leading n-axis)
     return [
         FL(
-            jnp.swapaxes(t, 0, 1),
-            jnp.swapaxes(jt, 1, 2),
-            jnp.swapaxes(lt, 0, 1),
+            t.reshape(tok, dm),
+            jt.reshape(n, tok, dm),
+            lt.reshape(tok, dm),
         )
     ]
 
@@ -522,12 +593,21 @@ def _interpret(jaxpr, consts, args, n):
         elif prim.name in RULES:
             outs = RULES[prim.name](eqn, invals, n)
         elif prim.name in SUBJAXPR_NAMES:
+            sub_name = eqn.params.get('name') or ''
             if (
-                eqn.params.get('name') == '_mha_core'
+                sub_name.startswith('_mha_core_flat_')
                 and len(invals) == 3
                 and any(v.jac is not None for v in invals)
             ):
-                outs = _mha_core_rule(invals, n)
+                outs = _mha_core_flat_rule(
+                    invals, n, int(sub_name.rsplit('_', 1)[1])
+                )
+            elif (
+                sub_name == '_psiformer_block'
+                and _use_block_kernel()
+                and (outs := _try_block_rule(eqn, invals, n)) is not None
+            ):
+                pass
             else:
                 sub = _find_subjaxpr(eqn.params)
                 sub_jaxpr, sub_consts = (

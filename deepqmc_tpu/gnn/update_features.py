@@ -185,18 +185,25 @@ class NodeAttentionElectronUpdateFeature(UpdateFeature):
         h = nodes.electrons
         head_dim, rem = divmod(h.shape[-1], self.num_heads)
         assert rem == 0, 'embedding_dim must be divisible by num_heads'
-        attended = nn.MultiHeadAttention(
-            self.num_heads,
-            head_dim,
-            with_bias=False,
-            w_init=nn.variance_scaling(1.0, 'fan_in', 'normal'),
-            name='attention',
-        )(h, h, h)
-        if self.attention_residual:
-            attended = self.attention_residual(h, attended)
-        mlp_out = self.mlp_factory(h.shape[-1], name='mlp')(attended)
-        if self.mlp_residual:
-            mlp_out = self.mlp_residual(attended, mlp_out)
+
+        def block(h):
+            attended = nn.MultiHeadAttention(
+                self.num_heads,
+                head_dim,
+                with_bias=False,
+                w_init=nn.variance_scaling(1.0, 'fan_in', 'normal'),
+                name='attention',
+            )(h, h, h)
+            if self.attention_residual:
+                attended = self.attention_residual(h, attended)
+            mlp_out = self.mlp_factory(h.shape[-1], name='mlp')(attended)
+            if self.mlp_residual:
+                mlp_out = self.mlp_residual(attended, mlp_out)
+            return mlp_out
+
+        # one named-jit unit per layer: the forward-Laplacian engine fuses
+        # the whole attention+MLP block into a single VMEM-resident kernel
+        mlp_out = nn.named_jit_block('_psiformer_block', block, h)
         return [GraphNodes(None, mlp_out)]
 
 

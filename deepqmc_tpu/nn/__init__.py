@@ -9,6 +9,7 @@ from .core import (  # noqa: F401
     current_frame,
     current_path,
     get_param,
+    named_jit_block,
     next_rng_key,
     ones_init,
     tag_dense,

@@ -189,6 +189,28 @@ def tag_dense(x_in: jax.Array, out: jax.Array) -> jax.Array:
     return out
 
 
+def named_jit_block(name: str, fn: Callable, *args):
+    """Run ``fn(*args)`` under a named jit boundary in plain applies.
+
+    The boundary hands jaxpr interpreters (the forward-Laplacian engine,
+    fwdlap.py) a whole block — e.g. attention + MLP + residuals — as ONE
+    pjit eqn they can swap for a fused kernel instead of interpreting
+    primitive by primitive.  Skipped during init (parameters must not be
+    created under a trace) and during instrumented applies (KFAC capture
+    lists must not hold inner-trace values); in those modes ``fn`` runs
+    inline, so parameter paths and numerics are identical either way.
+    """
+    frame = current_frame()
+    if (
+        frame.mode != 'apply'
+        or frame.captures is not None
+        or frame.perturbations is not None
+    ):
+        return fn(*args)
+    fn.__name__ = name
+    return jax.jit(fn)(*args)
+
+
 class Transformed(NamedTuple):
     init: Callable
     apply: Callable

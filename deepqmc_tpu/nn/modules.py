@@ -195,22 +195,43 @@ class Embed(Module):
         return table[idx]
 
 
-@jax.jit
-def _mha_core(q_h, k_h, v_h):
-    """softmax(q k^T / sqrt(dh)) v -> [head, token, head_dim].
+_MHA_FLAT_CORES: dict = {}
 
-    Module-level jitted so it appears as a named pjit in traced programs;
-    the forward-Laplacian engine (fwdlap.py) recognizes the name and swaps
-    in the fused VMEM kernel (ops/fl_attention.py) instead of interpreting
-    the body primitive by primitive.
+
+def _mha_core_flat(q2, k2, v2, num_heads):
+    """softmax(q k^T / sqrt(dh)) v on head-FLAT [token, H*dh] arrays.
+
+    Jitted per head count with the name ``_mha_core_flat_{H}`` so it appears
+    as a named pjit in traced programs; the forward-Laplacian engine
+    (fwdlap.py) recognizes the name and swaps in the fused VMEM kernel
+    (ops/fl_attention.py) instead of interpreting the body primitive by
+    primitive.  Flat in/out keeps the surrounding jaxpr free of minor-dim
+    reshapes (which the Mosaic TPU backend cannot lower), so the whole
+    attention+MLP block stays eligible for in-kernel interpretation.
     """
-    # [q,h,d] x [k,h,d] -> [h,q,k]  (contract d, batch h)
-    logits = jax.lax.dot_general(
-        q_h, k_h, (((2,), (2,)), ((1,), (1,)))
-    ) / jnp.sqrt(q_h.shape[-1]).astype(q_h.dtype)
-    weights = jax.nn.softmax(logits, axis=-1)
-    # [h,q,k] x [k,h,d] -> [h,q,d]  (contract k, batch h)
-    return jax.lax.dot_general(weights, v_h, (((2,), (0,)), ((0,), (1,))))
+    fn = _MHA_FLAT_CORES.get(num_heads)
+    if fn is None:
+
+        def core(q2, k2, v2):
+            n, dm = q2.shape
+            dh = dm // num_heads
+            q_h, k_h, v_h = (
+                x.reshape(n, num_heads, dh) for x in (q2, k2, v2)
+            )
+            # [q,h,d] x [k,h,d] -> [h,q,k]  (contract d, batch h)
+            logits = jax.lax.dot_general(
+                q_h, k_h, (((2,), (2,)), ((1,), (1,)))
+            ) / jnp.sqrt(dh).astype(q2.dtype)
+            weights = jax.nn.softmax(logits, axis=-1)
+            # [h,q,k] x [k,h,d] -> [q,h,d]  (contract k, batch h) -> flat
+            att = jax.lax.dot_general(
+                weights, v_h, (((2,), (0,)), ((0,), (1,)))
+            )
+            return jnp.swapaxes(att, 0, 1).reshape(n, dm)
+
+        core.__name__ = f'_mha_core_flat_{num_heads}'
+        fn = _MHA_FLAT_CORES[num_heads] = jax.jit(core)
+    return fn(q2, k2, v2)
 
 
 class MultiHeadAttention(Module):
@@ -237,13 +258,15 @@ class MultiHeadAttention(Module):
         self.w_init = w_init or variance_scaling(1.0, 'fan_in', 'normal')
 
     def _proj(self, x, label):
-        out = Linear(
+        # head-FLAT [token, H*dh]; head splitting happens inside the core
+        # (or locally in the masked branch) so the traced program stays free
+        # of minor-dim reshapes around the named-jit boundary
+        return Linear(
             self.num_heads * self.key_size,
             with_bias=self.with_bias,
             w_init=self.w_init,
             name=label,
         )(x)
-        return out.reshape(*out.shape[:-1], self.num_heads, self.key_size)
 
     def __call__(self, q, k, v, mask=None) -> jax.Array:
         # implemented with explicit dot_general dimension numbers so NO
@@ -251,32 +274,34 @@ class MultiHeadAttention(Module):
         # batch dims with transposes) — every transpose here would also be
         # applied to the 3N-row forward-Laplacian Jacobian channel
         assert q.ndim == 2, 'attention operates per sample (vmap for batches)'
-        q_h, k_h, v_h = self._proj(q, 'query'), self._proj(k, 'key'), self._proj(v, 'value')
+        q2, k2, v2 = self._proj(q, 'query'), self._proj(k, 'key'), self._proj(v, 'value')
         if mask is None:
             # the named-jit boundary lets the forward-Laplacian engine swap
             # in the fused VMEM attention kernel (fwdlap.py + ops/fl_attention)
-            attended = _mha_core(q_h, k_h, v_h)
+            attended_flat = _mha_core_flat(q2, k2, v2, self.num_heads)
         else:
+            q_h, k_h, v_h = (
+                x.reshape(x.shape[0], self.num_heads, self.key_size)
+                for x in (q2, k2, v2)
+            )
             logits = jax.lax.dot_general(
                 q_h, k_h, (((2,), (2,)), ((1,), (1,)))
             ) / jnp.sqrt(self.key_size).astype(q_h.dtype)
             logits = jnp.where(mask, logits, -1e30)
             weights = jax.nn.softmax(logits, axis=-1)
-            # [h,q,k] x [k,h,d] -> [h,q,d]  (contract k, batch h)
+            # [h,q,k] x [k,h,d] -> [q,h,d]  (contract k, batch h) -> flat
             attended = jax.lax.dot_general(
                 weights, v_h, (((2,), (0,)), ((0,), (1,)))
             )
-        # output projection: contract (h, d) jointly against [h, d, out];
-        # stored 2-D ([h*d, out]) so KFAC treats it as a regular dense layer
+            attended_flat = jnp.swapaxes(attended, 0, 1).reshape(q.shape[0], -1)
+        # output projection on the head-flattened activation: a regular
+        # dense layer, which KFAC's graph patterns treat as such
         w_out = get_param(
             'w', (self.num_heads * self.key_size, q.shape[-1]), self.w_init
-        ).reshape(self.num_heads, self.key_size, q.shape[-1])
-        out = jax.lax.dot_general(attended, w_out, (((0, 2), (0, 1)), ((), ())))
+        )
+        out = jnp.dot(attended_flat, w_out)
         if self.with_bias:
             out = out + get_param('b', (q.shape[-1],), zeros_init())
-        # expose the (head-flattened) activation/output pair to KFAC; dead
-        # code unless an instrumented pass records it
-        attended_flat = jnp.swapaxes(attended, 0, 1).reshape(q.shape[0], -1)
         return tag_dense(attended_flat, out)
 
 

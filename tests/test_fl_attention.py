@@ -11,8 +11,13 @@ import numpy as np
 import pytest
 
 from deepqmc_tpu.fwdlap import forward_laplacian
-from deepqmc_tpu.nn.modules import _mha_core
+from deepqmc_tpu.nn.modules import _MHA_FLAT_CORES, _mha_core_flat
 from deepqmc_tpu.ops.fl_attention import _pallas_blocked, mha_core_fl
+
+
+def _flat(x):
+    """[n, heads, dh] -> [n, heads*dh] (the core's flat calling convention)."""
+    return x.reshape(x.shape[0], -1)
 
 
 def _random_mha_problem(n=6, heads=2, dh=8, k=9, seed=0, dtype=jnp.float64):
@@ -34,17 +39,19 @@ def test_fl_core_matches_generic_interpreter():
 
     def scalar_through_attention(xvec):
         q, k, v = qkv_of(xvec)
-        return jnp.sum(jnp.cos(_mha_core(q, k, v)))
+        return jnp.sum(jnp.cos(_mha_core_flat(_flat(q), _flat(k), _flat(v), 2)))
 
     # generic path: break the name-based dispatch by interpreting an
     # identical core under a different name
+    _mha_core_flat(jnp.zeros((6, 16)), jnp.zeros((6, 16)), jnp.zeros((6, 16)), 2)
+
     @jax.jit
     def _mha_core_unfused(q, k, v):
-        return _mha_core.__wrapped__(q, k, v)
+        return _MHA_FLAT_CORES[2].__wrapped__(q, k, v)
 
     def scalar_unfused(xvec):
         q, k, v = qkv_of(xvec)
-        return jnp.sum(jnp.cos(_mha_core_unfused(q, k, v)))
+        return jnp.sum(jnp.cos(_mha_core_unfused(_flat(q), _flat(k), _flat(v))))
 
     lap_fused, grad_fused = forward_laplacian(scalar_through_attention)(x)
     lap_ref, grad_ref = forward_laplacian(scalar_unfused)(x)
@@ -64,7 +71,7 @@ def test_fl_core_matches_autodiff_laplacian():
 
     def scalar(xvec):
         q, k, v = qkv_of(xvec)
-        return jnp.sum(jnp.sin(_mha_core(q, k, v)))
+        return jnp.sum(jnp.sin(_mha_core_flat(_flat(q), _flat(k), _flat(v), 2)))
 
     lap_fl, grad_fl = forward_laplacian(scalar)(x)
     lap_ad, grad_ad = loop_laplacian(scalar)(x)

@@ -28,7 +28,7 @@ CONFIGS = {
             'task.electron_batch_size=256',
             'task.steps=1500',
             'task.pretrain_steps=200',
-            'task.fit_block_size=10',
+            '+task.fit_block_size=10',
         ],
         'eval_steps': 200,
         'reference': -1.17447,
@@ -43,7 +43,7 @@ CONFIGS = {
             'task.electron_batch_size=1024',
             'task.steps=2000',
             'task.pretrain_steps=500',
-            'task.fit_block_size=10',
+            '+task.fit_block_size=10',
         ],
         'eval_steps': 200,
         'reference': -8.07000,
@@ -59,7 +59,7 @@ CONFIGS = {
             'task.electron_batch_size=2048',
             'task.steps=4000',
             'task.pretrain_steps=500',
-            'task.fit_block_size=10',
+            '+task.fit_block_size=10',
         ],
         'eval_steps': 200,
         'reference': -76.4389,
@@ -114,7 +114,7 @@ def main():
                 'task=evaluate',
                 f'task.restdir={wd}/training',
                 f'task.steps={cfg["eval_steps"]}',
-                'task.fit_block_size=10',
+                '+task.fit_block_size=10',
             ],
             eval_wd,
         )

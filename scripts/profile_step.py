@@ -102,6 +102,17 @@ def main():
     )
     _, t_le = timed('local energy (fwdlap)', le_j, rng, params0, pc_flat)
 
+    # --- log-psi vjp alone (the VMC gradient's parameter pullback) ---
+    from deepqmc_tpu.loss.loss_function import _batched_log_psi
+
+    def logpsi_vjp(p0, pc, cot):
+        _, pullback = jax.vjp(partial(_batched_log_psi, ansatz, pc), p0)
+        return pullback(cot)
+
+    vjp_j = jax.jit(logpsi_vjp)
+    cot = jnp.ones(pc_flat.r.shape[0])
+    _, t_vjp = timed('log-psi vjp (fwd+bwd)', vjp_j, params0, pc_flat, cot)
+
     # --- loss value and VMC gradient ---
     loss_fn = create_loss_fn(
         hamil, ansatz, clip_mask_fn=median_log_squeeze_and_mask

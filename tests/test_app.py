@@ -4,7 +4,10 @@ import os
 import subprocess
 import sys
 
+import pytest
 
+
+@pytest.mark.heavy
 def test_cli_end_to_end(tmp_path):
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'

@@ -51,6 +51,7 @@ def excited_setup(helpers):
     return hamil, ansatz, mol_idx_sampler, sampler, params, smpl_state
 
 
+@pytest.mark.heavy
 def test_two_state_training_with_overlap_penalty(excited_setup):
     hamil, ansatz, mol_idx_sampler, sampler, params, smpl_state = excited_setup
     assert jax.tree_util.tree_leaves(params)[0].shape[0] == 2  # state axis
@@ -85,6 +86,7 @@ def test_two_state_training_with_overlap_penalty(excited_setup):
     assert np.allclose(np.diagonal(overlap, axis1=1, axis2=2), 1.0, atol=1e-6)
 
 
+@pytest.mark.heavy
 def test_spin_penalty_loss(excited_setup, helpers):
     hamil, ansatz, mol_idx_sampler, sampler, params, smpl_state = excited_setup
     loss_factory = partial(

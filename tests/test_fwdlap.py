@@ -91,6 +91,7 @@ def test_attention_like(helpers):
 
 
 @pytest.mark.parametrize('preset', ['default', 'ferminet', 'psiformer'])
+@pytest.mark.heavy
 def test_full_ansatz_laplacian(helpers, preset):
     """The forward Laplacian of the real ansatz must match nested autodiff."""
     kwargs = {'n_determinants': 2, 'embedding_dim': 32, 'n_interactions': 2}
@@ -109,6 +110,7 @@ def test_full_ansatz_laplacian(helpers, preset):
     check_against_loop(log_psi, pc.r.flatten(), rtol=5e-7)
 
 
+@pytest.mark.heavy
 def test_forward_laplacian_under_vmap_and_jit(helpers):
     hamil = helpers.hamil()
     ansatz = instantiate_ansatz(

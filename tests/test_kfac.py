@@ -97,6 +97,7 @@ def test_kfac_norm_constraint_limits_update(helpers):
     ) == pytest.approx(1e-3, rel=1e-4)
 
 
+@pytest.mark.heavy
 def test_kfac_trains_h2(helpers):
     """KFAC must optimize a small real ansatz on H2 without blowing up."""
     from deepqmc_tpu.fit import fit_wf

@@ -79,6 +79,7 @@ def log_psi_tangent_of(ansatz, phys_conf, params, dparams):
 
 
 @pytest.mark.parametrize('with_spin', [False, True])
+@pytest.mark.heavy
 def test_direct_gradient_matches_tangent(loss_setup, helpers, with_spin):
     hamil, ansatz, params, phys_conf, weight = loss_setup
     loss_fn = create_loss_fn(

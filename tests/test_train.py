@@ -45,6 +45,7 @@ def h2_setup(helpers):
     return hamil, ansatz
 
 
+@pytest.mark.heavy
 def test_train_h2_smoke(h2_setup, tmp_path):
     """Minimum end-to-end slice: H2, 64 walkers, Adam, few steps + workdir."""
     hamil, ansatz = h2_setup
@@ -75,6 +76,7 @@ def test_train_h2_smoke(h2_setup, tmp_path):
         assert np.isfinite(energies).all()
 
 
+@pytest.mark.heavy
 def test_train_h2_energy_improves(h2_setup):
     """A short optimization must lower the H2 energy toward -1.17 Ha."""
     hamil, ansatz = h2_setup
@@ -124,6 +126,7 @@ def test_train_h2_energy_improves(h2_setup):
     assert energies[-10:].mean() > -1.5
 
 
+@pytest.mark.heavy
 def test_evaluation_mode(h2_setup):
     hamil, ansatz = h2_setup
     train_state = train(
@@ -139,6 +142,7 @@ def test_evaluation_mode(h2_setup):
     assert train_state.opt is None
 
 
+@pytest.mark.heavy
 def test_block_scanned_training(h2_setup, helpers):
     """block_size > 1 scans steps inside one jit and yields identical API."""
     from deepqmc_tpu.fit import fit_wf

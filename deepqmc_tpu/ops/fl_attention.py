@@ -195,13 +195,120 @@ def _make_head_fn(W, n, K, dh, dtype):
     return per_head
 
 
+def _make_head_fn_kron(W, n, K, dh, dtype):
+    """Per-head FL attention with K folded into GEMM dimensions.
+
+    The straightforward formulation (:func:`_make_head_fn`) batches most
+    contractions over W*K, which Mosaic lowers to a LOOP of [n, dh]-sized
+    matmuls — per-iteration MXU latency dominates at n=10.  Here every
+    K-bearing contraction is ONE chunky GEMM per walker in "row form"
+    ([(k,i), cols]), using three structural constants:
+
+    - ``tile_v(X)``: K row-stacked copies ([n, c] -> [K*n, c]),
+    - ``tile_h(X)``: K lane-stacked copies ([r, n] -> [r, K*n]),
+    - ``mask_bd``: the [K*n, K*n] block-diagonal indicator,
+
+    so e.g. ``q @ Jk[k]^T`` for all k is the block-diagonal part of
+    ``tile_v(q) @ Jk_flat^T`` followed by a column-block sum (one GEMM with
+    the summation matrix T1).  ~5x FLOP inflation on [K*n, K*n]-sized
+    products, but MXU-shaped: measured faster than the loop form.
+    """
+    scale = jnp.asarray(1.0, dtype) / jnp.sqrt(jnp.asarray(dh, dtype))
+    # structural constants from iota (no captured const arrays in-kernel)
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (K * n, K * n), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (K * n, K * n), 1)
+    mask_bd = (iota_r // n == iota_c // n).astype(dtype)
+    t1 = (
+        jax.lax.broadcasted_iota(jnp.int32, (K * n, n), 0) % n
+        == jax.lax.broadcasted_iota(jnp.int32, (K * n, n), 1)
+    ).astype(dtype)  # [K*n, n]: K row-stacked identities
+
+    def tile_v(x):  # [W, n, c] -> [W, K*n, c]
+        return jnp.concatenate([x] * K, axis=1)
+
+    def tile_h(x):  # [W, r, n] -> [W, r, K*n]
+        return jnp.concatenate([x] * K, axis=2)
+
+    def bdot(x, y, transpose_rhs=False):
+        c = (2,) if transpose_rhs else (1,)
+        return jax.lax.dot_general(
+            x, y, (((2,), c), ((0,), (0,))),
+            preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def sum_col_blocks(g):  # [W, r, K*n] -> [W, r, n], sum over k of blocks
+        return bdot(g, jnp.broadcast_to(t1, (W, K * n, n)))
+
+    def sum_row_blocks(g):  # [W, K*n, c] -> [W, n, c]
+        return bdot(
+            jnp.broadcast_to(t1.T[None], (W, n, K * n)), g
+        )
+
+    def ksum(x_row):  # [W, K*n, c] -> [W, n, c] elementwise-sum over k
+        return x_row.reshape(W, K, n, -1).sum(axis=1)
+
+    def per_head(qh, kh, vh, jqh, jkh, jvh, lqh, lkh, lvh):
+        jq_f = jqh.reshape(W, K * n, dh)
+        jk_f = jkh.reshape(W, K * n, dh)
+        jv_f = jvh.reshape(W, K * n, dh)
+
+        z = bdot(qh, kh, transpose_rhs=True) * scale  # [W, n, n]
+        # jz row form [(k,i), j]
+        jz1 = bdot(jq_f, kh, transpose_rhs=True)  # [W, K*n, n]
+        g = bdot(tile_v(qh), jk_f, transpose_rhs=True)  # [W, K*n, K*n]
+        jz2 = sum_col_blocks(g * mask_bd)
+        jz = (jz1 + jz2) * scale
+        # lz = Lq k^T + q Lk^T + 2 sum_k Jq[k] Jk[k]^T
+        g2 = bdot(jq_f, jk_f, transpose_rhs=True)  # [W, K*n, K*n]
+        cross_z = sum_row_blocks(sum_col_blocks(g2 * mask_bd))
+        lz = (
+            bdot(lqh, kh, transpose_rhs=True)
+            + bdot(qh, lkh, transpose_rhs=True)
+            + 2.0 * cross_z
+        ) * scale
+
+        # softmax FL in row form
+        m = z - jax.lax.stop_gradient(z.max(axis=-1, keepdims=True))
+        e = jnp.exp(m)
+        s = e.sum(axis=-1, keepdims=True)
+        inv_s = 1.0 / s
+        a = e * inv_s
+        je = tile_v(e) * jz  # [W, K*n, n]
+        ls_term = lz + ksum(jz * jz)
+        le = e * ls_term
+        js = je.sum(axis=-1, keepdims=True)  # [W, K*n, 1]
+        ls = le.sum(axis=-1, keepdims=True)  # [W, n, 1]
+        ja = (je - tile_v(a) * js) * tile_v(inv_s)
+        la = (
+            (le - a * ls) * inv_s
+            - 2.0 * inv_s**2 * ksum(je * js)
+            + 2.0 * a * inv_s**2 * ksum(js * js)
+        )
+
+        t = bdot(a, vh)  # [W, n, dh]
+        jt = bdot(ja, vh) + bdot(tile_v(tile_h(a)) * mask_bd, jv_f)
+        qq = tile_h(ja) * mask_bd  # [W, K*n, K*n]
+        cross_t = sum_row_blocks(bdot(qq, jv_f))
+        lt = bdot(la, vh) + bdot(a, lvh) + 2.0 * cross_t
+        return t, jt.reshape(W, K, n, dh), lt
+
+    return per_head
+
+
+def _head_fn_factory():
+    if _os.environ.get('DEEPQMC_TPU_ATTN_KRON'):
+        return _make_head_fn_kron
+    return _make_head_fn
+
+
 def _kernel(q_ref, k_ref, v_ref, jq_ref, jk_ref, jv_ref, lq_ref, lk_ref,
             lv_ref, t_ref, jt_ref, lt_ref):
     # one head at a time, written straight to the output refs, to keep the
     # kernel's peak VMEM at a single head's working set
     W, n, H, dh = q_ref.shape
     K = jq_ref.shape[1]
-    per_head = _make_head_fn(W, n, K, dh, q_ref.dtype)
+    per_head = _head_fn_factory()(W, n, K, dh, q_ref.dtype)
     for h in range(H):
         t, jt, lt = per_head(
             q_ref[:, :, h], k_ref[:, :, h], v_ref[:, :, h],

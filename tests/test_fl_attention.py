@@ -99,6 +99,24 @@ def test_pallas_kernel_matches_jnp_twin(dtype):
         )
 
 
+def test_kron_head_matches_loop_head():
+    """The kron/block-diagonal head formulation == the loop formulation."""
+    from deepqmc_tpu.ops.fl_attention import _make_head_fn, _make_head_fn_kron
+
+    rng = np.random.default_rng(4)
+    W, n, dh, k = 3, 5, 8, 12
+    args = [
+        jnp.asarray(rng.normal(size=shape), jnp.float64)
+        for shape in [(W, n, dh)] * 3
+        + [(W, k, n, dh)] * 3
+        + [(W, n, dh)] * 3
+    ]
+    ref = _make_head_fn(W, n, k, dh, jnp.float64)(*args)
+    got = _make_head_fn_kron(W, n, k, dh, jnp.float64)(*args)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-9)
+
+
 def test_pallas_kernel_blocks_and_pads(helpers):
     """The blocked pallas_call tiles walkers and pads ragged blocks."""
     rng = np.random.default_rng(2)

@@ -23,7 +23,7 @@ from typing import Any, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from .fl_attention import _make_head_fn
+from .fl_attention import _head_fn_factory
 
 __all__ = ['Unsupported', 'block_fl_call', 'block_jaxpr_supported']
 
@@ -193,7 +193,7 @@ def _rule_mha_flat(invals, k, num_heads):
     q2, k2, v2 = invals
     W, n_tok, dm = q2.x.shape
     dh = dm // num_heads
-    per_head = _make_head_fn(W, n_tok, k, dh, q2.x.dtype)
+    per_head = _head_fn_factory()(W, n_tok, k, dh, q2.x.dtype)
     args = [_jac_of(v, k) for v in (q2, k2, v2)]
     laps = [_lap_of(v) for v in (q2, k2, v2)]
     ts, jts, lts = [], [], []

@@ -27,7 +27,9 @@ from .fl_attention import _head_fn_factory
 
 __all__ = ['Unsupported', 'block_fl_call', 'block_jaxpr_supported']
 
-WALKER_BLOCK = 4
+import os as _os
+
+WALKER_BLOCK = int(_os.environ.get('DEEPQMC_TPU_BLOCK_WALKERS', '4'))
 
 
 class Unsupported(Exception):

@@ -67,6 +67,41 @@ CONFIGS = {
         '1 mHa target per BASELINE.md',
         'tol_mha': 10.0,
     },
+    'sco': {
+        'description': 'ScO, PsiFormer, 1024 walkers, ccECP (progression '
+        'config 4; packaged ECP tables)',
+        'overrides': [
+            'task=train_psiformer',
+            'hamil/mol=ScO',
+            "+hamil.ecp_type=ccECP",
+            'task.electron_batch_size=1024',
+            'task.steps=4000',
+            'task.pretrain_steps=1000',
+            '+task.fit_block_size=10',
+        ],
+        'eval_steps': 200,
+        'reference': -46.654,
+        'reference_source': 'ccECP AE-correlated estimate (Annaberdiyev et '
+        'al. 2018, valence-only)',
+        'tol_mha': 30.0,
+    },
+    'benzene_excited': {
+        'description': 'benzene, 2-state excited PsiFormer, 2048 walkers '
+        '(progression config 5 stretch)',
+        'overrides': [
+            'task=train_excited_psiformer',
+            'hamil/mol=benzene',
+            'task.electron_batch_size=2048',
+            'task.steps=6000',
+            'task.pretrain_steps=2000',
+            '+task.fit_block_size=10',
+        ],
+        'eval_steps': 200,
+        'reference': -232.22,
+        'reference_source': 'ground-state estimate only; the interesting '
+        'observable is the S0-S1 gap (4.9 eV exp.)',
+        'tol_mha': 100.0,
+    },
 }
 
 
@@ -107,13 +142,21 @@ def main():
     for name in names:
         cfg = CONFIGS[name]
         wd = Path(args.workdir) / name
-        train_s = run_cli(cfg['overrides'], wd)
+        done_log = Path(wd) / 'deepqmc.log'
+        if (
+            done_log.exists()
+            and 'training has been completed' in done_log.read_text()
+        ):
+            print(f'{name}: training already completed, skipping', flush=True)
+            train_s = 0.0
+        else:
+            train_s = run_cli(cfg['overrides'], wd)
         eval_wd = Path(args.workdir) / f'{name}_eval'
         run_cli(
             [
                 'task=evaluate',
                 f'task.restdir={wd}/training',
-                f'task.steps={cfg["eval_steps"]}',
+                f'+task.steps={cfg["eval_steps"]}',
                 '+task.fit_block_size=10',
             ],
             eval_wd,
@@ -134,7 +177,11 @@ def main():
             }
         )
         print(json.dumps(rows[-1]), flush=True)
+        _write_table(rows)  # incrementally, so a later crash loses nothing
+    print('wrote docs/ACCURACY.md')
 
+
+def _write_table(rows):
     out = Path('docs')
     out.mkdir(exist_ok=True)
     with open(out / 'ACCURACY.md', 'w') as f:
@@ -152,7 +199,6 @@ def main():
                 f'| {r["deviation_mha"]:+.1f} | '
                 f'{"yes" if r["within_tol"] else "NO"} |\n'
             )
-    print('wrote docs/ACCURACY.md')
 
 
 if __name__ == '__main__':

@@ -280,10 +280,13 @@ def _make_head_fn_kron(W, n, K, dh, dtype):
         js = je.sum(axis=-1, keepdims=True)  # [W, K*n, 1]
         ls = le.sum(axis=-1, keepdims=True)  # [W, n, 1]
         ja = (je - tile_v(a) * js) * tile_v(inv_s)
+        # the k-sums here go through sum_row_blocks (a GEMM with the T1
+        # summation matrix): the reshape-based ksum on lane-1 [W, K*n, 1]
+        # arrays trips Mosaic's unimplemented lane-broadcast path
         la = (
             (le - a * ls) * inv_s
-            - 2.0 * inv_s**2 * ksum(je * js)
-            + 2.0 * a * inv_s**2 * ksum(js * js)
+            - 2.0 * inv_s**2 * sum_row_blocks(je * js)
+            + 2.0 * a * inv_s**2 * sum_row_blocks(js * js)
         )
 
         t = bdot(a, vh)  # [W, n, dh]

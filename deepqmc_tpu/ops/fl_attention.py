@@ -210,8 +210,13 @@ def _make_head_fn_kron(W, n, K, dh, dtype):
 
     so e.g. ``q @ Jk[k]^T`` for all k is the block-diagonal part of
     ``tile_v(q) @ Jk_flat^T`` followed by a column-block sum (one GEMM with
-    the summation matrix T1).  ~5x FLOP inflation on [K*n, K*n]-sized
-    products, but MXU-shaped: measured faster than the loop form.
+    the summation matrix T1), at ~K/2x FLOP inflation on the [K*n, K*n]
+    products.
+
+    MEASURED (v5e, H2O psiformer eloc): 635-650 ms vs 504 ms for the loop
+    form at walker blocks 1/4/8 — the FLOP inflation loses to the loop
+    form's latency; kept opt-in (DEEPQMC_TPU_ATTN_KRON=1) as the starting
+    point for a masked-GEMM variant if Mosaic grows one.
     """
     scale = jnp.asarray(1.0, dtype) / jnp.sqrt(jnp.asarray(dh, dtype))
     # structural constants from iota (no captured const arrays in-kernel)

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.extend import core as jex_core
 
-from .ops.slogdet import slogdet_p
+from .ops.slogdet import slogdet_flat_p, slogdet_p
 
 log = logging.getLogger(__name__)
 
@@ -333,6 +333,52 @@ def _slogdet_rule(eqn, invals, n):
     return [_const(sign), FL(logdet, jac, lap)]
 
 
+def _slogdet_flat_rule(eqn, invals, n):
+    """FL rule for the flat-layout slogdet (ops/slogdet.py slogdet_flat).
+
+    Per walker the value is [n_el, D * n_el] with det-major columns, so the
+    Jacobian channel reaching this rule is flat too — the layout the whole
+    determinant assembly runs in to avoid TPU tile-padding blowups.  The
+    TPU path hands the flat Jacobian straight to the fused kernel; the
+    generic path unpacks and reuses the [D, n, n] math.
+    """
+    from .ops.slogdet import _inv, unflatten_dets
+
+    n_det = eqn.params['n_det']
+    (v,) = invals
+    if isinstance(v, FLRowBlocks):
+        if v.x.ndim == 2 and _use_pallas():
+            from .ops.fl_slogdet import slogdet_fl_flat_split_tpu
+
+            sign, logdet, jout, lout = slogdet_fl_flat_split_tpu(
+                v.x, *v.jac_blocks, v.lap, n_det
+            )
+            return [_const(sign), FL(logdet, jout, lout)]
+        v = FL(v.x, jnp.concatenate(v.jac_blocks, axis=-2), v.lap)
+    if v.x.ndim == 2 and _use_pallas():
+        from .ops.fl_slogdet import slogdet_fl_flat_tpu
+
+        sign, logdet, jout, lout = slogdet_fl_flat_tpu(
+            v.x, _jac_of(v, n), _lap_of(v), n_det
+        )
+        return [_const(sign), FL(logdet, jout, lout)]
+    # generic path: unpack to [..., D, n, n] and reuse the square math
+    a = unflatten_dets(v.x, n_det)
+    jac_f = _jac_of(v, n)
+    ja = jnp.moveaxis(
+        jac_f.reshape(*jac_f.shape[:-1], n_det, -1), -2, -3
+    )  # [K, ..., D, n, n]
+    la = unflatten_dets(_lap_of(v), n_det)
+    sign, logdet = slogdet_p.bind(a)
+    inv_a = _inv(a)
+    jac = jnp.einsum('...ij,k...ji->k...', inv_a, ja)
+    m = jnp.einsum('...ij,k...jl->k...il', inv_a, ja)
+    lap = jnp.einsum('...ij,...ji->...', inv_a, la) - jnp.einsum(
+        'k...ij,k...ji->...', m, m
+    )
+    return [_const(sign), FL(logdet, jac, lap)]
+
+
 def _stop_gradient_rule(eqn, invals, n):
     (v,) = invals
     return [_const(v.x)]
@@ -540,7 +586,7 @@ def _deferred_concat_eqns(jaxpr):
     outvars = {v for v in jaxpr.outvars if not isinstance(v, jex_core.Literal)}
     deferred = set()
     for eqn in jaxpr.eqns:
-        if eqn.primitive is not slogdet_p:
+        if eqn.primitive not in (slogdet_p, slogdet_flat_p):
             continue
         src = eqn.invars[0]
         if isinstance(src, jex_core.Literal) or src in outvars:
@@ -640,6 +686,7 @@ RULES['dot_general'] = _dot_general_rule
 RULES['integer_pow'] = _integer_pow_rule
 RULES['stop_gradient'] = _stop_gradient_rule
 RULES[slogdet_p] = _slogdet_rule
+RULES[slogdet_flat_p] = _slogdet_flat_rule
 for _name in ELEMENTWISE:
     RULES[_name] = _elementwise_rule(_name)
 

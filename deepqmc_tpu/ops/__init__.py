@@ -1,5 +1,5 @@
 """Custom primitives and TPU (Pallas) kernels for the hot operations."""
 
-from .slogdet import slogdet  # noqa: F401
+from .slogdet import slogdet, slogdet_flat, unflatten_dets  # noqa: F401
 
-__all__ = ['slogdet']
+__all__ = ['slogdet', 'slogdet_flat', 'unflatten_dets']

@@ -37,6 +37,10 @@ __all__ = [
     'slogdet_fl_tpu',
     'slogdet_fl_split',
     'slogdet_fl_split_tpu',
+    'slogdet_fl_flat',
+    'slogdet_fl_flat_split',
+    'slogdet_fl_flat_tpu',
+    'slogdet_fl_flat_split_tpu',
 ]
 
 WALKER_BLOCK = 8
@@ -277,6 +281,188 @@ def _slogdet_fl_split_tpu_vmap(axis_size, in_batched, a, ju, jd, la):
     assert all(in_batched), 'all slogdet FL inputs must be walker-batched'
     out = _pallas_blocked_split(a, ju, jd, la)
     return out, (True, True, True, True)
+
+
+# --- flat-layout variants -----------------------------------------------------
+#
+# The ansatz assembles orbitals in the flat [n, D * n] det-major column
+# layout (ops/slogdet.py slogdet_flat) precisely so the Jacobian channel
+# reaching this rule is [K, n, D * n]: near-dense under TPU (8, 128)
+# tiling, where the unpacked [K, D, n, n] layout pads its minor (n, n)
+# pair ~6x for molecular n ~ 10.  These kernels take the flat Jacobian
+# and Laplacian straight from HBM and do the per-determinant unpacking as
+# static lane slices on VMEM-resident blocks; only the primal (no K axis,
+# ~K times smaller) is unpacked outside for the inverse/logdet.
+
+
+def _flat_unpack_jac(jf, n_det):
+    """[..., K, n, D*n] -> [..., K, D, n, n] (jnp twin / oracle only)."""
+    out = jf.reshape(*jf.shape[:-1], n_det, -1)
+    return jnp.moveaxis(out, -2, -3)
+
+
+def slogdet_fl_flat(a_flat, ja_flat, la_flat, n_det):
+    """jnp twin of the flat kernel for ONE walker: a_flat [n, D*n],
+    ja_flat [K, n, D*n], la_flat [n, D*n] -> as :func:`slogdet_fl`."""
+    from .slogdet import unflatten_dets
+
+    return slogdet_fl(
+        unflatten_dets(a_flat, n_det),
+        _flat_unpack_jac(ja_flat, n_det),
+        unflatten_dets(la_flat, n_det),
+    )
+
+
+def slogdet_fl_flat_split(a_flat, ju_flat, jd_flat, la_flat, n_det):
+    """Row-blocked jnp twin: ju/jd carry the up/down electron rows."""
+    return slogdet_fl_flat(
+        a_flat, jnp.concatenate([ju_flat, jd_flat], axis=-2), la_flat, n_det
+    )
+
+
+def _flat_split_kernel(il_ref, ir_ref, ju_ref, jd_ref, jout_ref, trq_ref):
+    # ONE program per walker block; the determinant loop runs in-kernel so
+    # the flat Jacobian block is fetched from HBM exactly once.  Per det:
+    # static lane slices (VMEM-resident, Mosaic relayout) unpack the det's
+    # columns, then the existing W*K-batched contractions produce
+    # tr(A^-1 J_k) (= tr m) and sum_k tr(m^2).
+    W, D, n, nu = il_ref.shape
+    nd = ir_ref.shape[3]
+    K = ju_ref.shape[1]
+    eye = jnp.eye(n, dtype=il_ref.dtype)
+    jouts, trqs = [], []
+    for d in range(D):
+        ju_d = ju_ref[:, :, :, d * n:(d + 1) * n].reshape(W * K, nu, n)
+        jd_d = jd_ref[:, :, :, d * n:(d + 1) * n].reshape(W * K, nd, n)
+        il_rep = jnp.broadcast_to(
+            il_ref[:, d][:, None], (W, K, n, nu)
+        ).reshape(W * K, n, nu)
+        ir_rep = jnp.broadcast_to(
+            ir_ref[:, d][:, None], (W, K, n, nd)
+        ).reshape(W * K, n, nd)
+        m = _bmm(il_rep, ju_d, ((2,), (1,))) + _bmm(ir_rep, jd_d, ((2,), (1,)))
+        jouts.append((m * eye).sum(axis=2).reshape(W, K, n).sum(axis=2))
+        q = _bmm(m, m, ((2,), (1,)))
+        trqs.append(
+            (q * eye).sum(axis=2).reshape(W, K, n).sum(axis=2).sum(
+                axis=1, keepdims=True
+            )
+        )
+    jout_ref[...] = jnp.stack(jouts, axis=2)  # [W, K, D]
+    trq_ref[...] = jnp.concatenate(trqs, axis=1)  # [W, D]
+
+
+@functools.partial(
+    jax.jit, static_argnames=('n_det', 'interpret')
+)
+def _pallas_blocked_flat_split(a_flat, ju, jd, la, n_det, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .slogdet import unflatten_dets
+
+    B, K, nu, _ = ju.shape
+    nd = jd.shape[2]
+    n = nu + nd
+    D = n_det
+    a = unflatten_dets(a_flat, D)  # [B, D, n, n] — primal only
+    sign, logdet = slogdet_small(a)
+    inv_a = inv_small(a)
+    inv_l, inv_r = inv_a[..., :nu], inv_a[..., nu:]
+    # linear Laplacian term on the flat layout, outside the kernel:
+    # tr(A_d^-1 L_d) = sum_{j,i} invT_flat[j, d*n+i] * la_flat[j, d*n+i]
+    # invT_flat[b, j, d*n + i] = inv_a[b, d, i, j]
+    invt_flat = jnp.transpose(inv_a, (0, 3, 1, 2)).reshape(B, n, D * n)
+    s_l = (invt_flat * la).sum(axis=-2)  # [B, D*n]
+    t1b = (
+        jax.lax.broadcasted_iota(jnp.int32, (D * n, D), 0) // n
+        == jax.lax.broadcasted_iota(jnp.int32, (D * n, D), 1)
+    ).astype(a_flat.dtype)
+    lout_lin = s_l @ t1b  # [B, D]
+
+    W = min(WALKER_BLOCK, B)
+    pad = (-B) % W
+    if pad:
+        padb = lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
+        inv_l, inv_r, ju, jd = map(padb, (inv_l, inv_r, ju, jd))
+    n_blocks = inv_l.shape[0] // W
+    Bp = inv_l.shape[0]
+
+    vmem = pltpu.VMEM
+
+    def inv_spec(cols):
+        return pl.BlockSpec(
+            (W, D, n, cols), lambda i: (i, 0, 0, 0), memory_space=vmem
+        )
+
+    def jac_spec(rows):
+        return pl.BlockSpec(
+            (W, K, rows, D * n), lambda i: (i, 0, 0, 0), memory_space=vmem
+        )
+
+    jout, trq = pl.pallas_call(
+        _flat_split_kernel,
+        grid=(n_blocks,),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, K, D), a_flat.dtype),
+            jax.ShapeDtypeStruct((Bp, D), a_flat.dtype),
+        ),
+        in_specs=[inv_spec(nu), inv_spec(nd), jac_spec(nu), jac_spec(nd)],
+        out_specs=(
+            pl.BlockSpec((W, K, D), lambda i: (i, 0, 0), memory_space=vmem),
+            pl.BlockSpec((W, D), lambda i: (i, 0), memory_space=vmem),
+        ),
+        interpret=interpret,
+        **(
+            {}
+            if interpret
+            else {
+                'compiler_params': pltpu.CompilerParams(
+                    dimension_semantics=('arbitrary',),
+                    vmem_limit_bytes=100 * 1024 * 1024,
+                )
+            }
+        ),
+    )(inv_l, inv_r, ju, jd)
+    if pad:
+        jout, trq = jout[:B], trq[:B]
+    return sign, logdet, jout, lout_lin - trq
+
+
+def _make_flat_split_tpu(n_det):
+    @jax.custom_batching.custom_vmap
+    def flat_split_tpu(a_flat, ju, jd, la):
+        sign, logdet, jout, lout = _pallas_blocked_flat_split(
+            a_flat[None], ju[None], jd[None], la[None], n_det
+        )
+        return sign[0], logdet[0], jout[0], lout[0]
+
+    @flat_split_tpu.def_vmap
+    def _vmap(axis_size, in_batched, a_flat, ju, jd, la):
+        assert all(in_batched), 'all slogdet FL inputs must be walker-batched'
+        out = _pallas_blocked_flat_split(a_flat, ju, jd, la, n_det)
+        return out, (True, True, True, True)
+
+    return flat_split_tpu
+
+
+_FLAT_SPLIT_TPU_CACHE: dict = {}
+
+
+def slogdet_fl_flat_split_tpu(a_flat, ju, jd, la, n_det):
+    """Pallas flat-layout split kernel; one walker per call, vmap batches."""
+    if n_det not in _FLAT_SPLIT_TPU_CACHE:
+        _FLAT_SPLIT_TPU_CACHE[n_det] = _make_flat_split_tpu(n_det)
+    return _FLAT_SPLIT_TPU_CACHE[n_det](a_flat, ju, jd, la)
+
+
+def slogdet_fl_flat_tpu(a_flat, ja, la, n_det):
+    """Unsplit flat variant: whole-row Jacobian [K, n, D*n]."""
+    n = a_flat.shape[-2]
+    nu = (n + 1) // 2
+    return slogdet_fl_flat_split_tpu(
+        a_flat, ja[..., :nu, :], ja[..., nu:, :], la, n_det
+    )
 
 
 @jax.custom_batching.custom_vmap

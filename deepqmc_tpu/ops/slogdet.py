@@ -20,7 +20,7 @@ from jax.interpreters import ad, batching, mlir
 
 from .linalg_small import inv_small, slogdet_small
 
-__all__ = ['slogdet']
+__all__ = ['slogdet', 'slogdet_flat', 'unflatten_dets']
 
 # above this size the unrolled elimination stops paying off
 SMALL_N = 64
@@ -79,4 +79,83 @@ batching.primitive_batchers[slogdet_p] = _batch_rule
 ad.primitive_jvps[slogdet_p] = _jvp_rule
 mlir.register_lowering(
     slogdet_p, mlir.lower_fun(_impl, multiple_results=True)
+)
+
+
+# --- flat-determinant variant -------------------------------------------------
+#
+# The ansatz assembles its Slater matrices in a "flat" layout
+# [..., n_el, n_det * n] (determinant-major columns): on TPU the (8, 128)
+# tiling pads a [n_det, n, n] tensor's minor (n, n) pair catastrophically
+# for molecular n ~ 10 (10 lanes -> 128), while the flat layout's minor
+# pair (n_el, n_det * n) stays near-dense.  ``slogdet_flat`` is the seam
+# that lets every upstream orbital/backflow/envelope op materialize ONLY
+# flat tensors; the unpack into per-determinant square matrices happens
+# here (and, under the forward-Laplacian engine, inside the fused Pallas
+# kernel — see fwdlap._slogdet_flat_rule / ops/fl_slogdet.py).
+
+slogdet_flat_p = jex_core.Primitive('deepqmc_slogdet_flat')
+slogdet_flat_p.multiple_results = True
+
+
+def unflatten_dets(a_flat: jax.Array, n_det: int) -> jax.Array:
+    """[..., n, n_det * n] (det-major columns) -> [..., n_det, n, n]."""
+    n = a_flat.shape[-2]
+    parts = a_flat.reshape(*a_flat.shape[:-1], n_det, -1)
+    return jnp.moveaxis(parts, -2, -3)
+
+
+def slogdet_flat(a_flat: jax.Array, n_det: int) -> tuple[jax.Array, jax.Array]:
+    """Per-determinant (sign, log|det|) of a flat orbital matrix.
+
+    ``a_flat`` has shape [..., n, n_det * n] with determinant-major columns
+    (column d * n + j is orbital j of determinant d); returns arrays of
+    shape [..., n_det].
+    """
+    sign, logdet = slogdet_flat_p.bind(a_flat, n_det=n_det)
+    return sign, logdet
+
+
+def _flat_impl(a_flat, *, n_det):
+    return _impl(unflatten_dets(a_flat, n_det))
+
+
+def _flat_abstract_eval(a_flat, *, n_det):
+    assert a_flat.ndim >= 2 and a_flat.shape[-1] == n_det * a_flat.shape[-2], (
+        a_flat.shape,
+        n_det,
+    )
+    out = jax.core.ShapedArray((*a_flat.shape[:-2], n_det), a_flat.dtype)
+    return out, out
+
+
+def _flat_batch_rule(args, dims, *, n_det):
+    (a,) = args
+    (d,) = dims
+    a = jnp.moveaxis(a, d, 0)
+    return slogdet_flat_p.bind(a, n_det=n_det), (0, 0)
+
+
+def _flat_jvp_rule(primals, tangents, *, n_det):
+    (a_flat,) = primals
+    (da,) = tangents
+    sign, logdet = slogdet_flat_p.bind(a_flat, n_det=n_det)
+    if isinstance(da, ad.Zero):
+        d_logdet = ad.Zero.from_primal_value(logdet)
+    else:
+        inv_a = _inv(unflatten_dets(a_flat, n_det))  # [..., D, n, n]
+        da_unf = da.reshape(*da.shape[:-1], n_det, -1)  # [..., n(j), D, n(i)]
+        # d log|det A_d| = tr(A_d^-1 dA_d), contracted without transposing
+        # the (much larger) tangent into the padded [D, n, n] layout
+        d_logdet = jnp.einsum('...dij,...jdi->...d', inv_a, da_unf)
+    d_sign = ad.Zero.from_primal_value(sign)
+    return (sign, logdet), (d_sign, d_logdet)
+
+
+slogdet_flat_p.def_impl(_flat_impl)
+slogdet_flat_p.def_abstract_eval(_flat_abstract_eval)
+batching.primitive_batchers[slogdet_flat_p] = _flat_batch_rule
+ad.primitive_jvps[slogdet_flat_p] = _flat_jvp_rule
+mlir.register_lowering(
+    slogdet_flat_p, mlir.lower_fun(_flat_impl, multiple_results=True)
 )

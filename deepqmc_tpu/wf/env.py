@@ -14,7 +14,7 @@ from jax.nn import softplus
 
 from .. import nn
 from ..physics import pairwise_diffs
-from ..utils import norm, unflatten
+from ..utils import norm
 
 __all__ = ()
 
@@ -90,10 +90,16 @@ class ExponentialEnvelopes(nn.Module):
             exponent = norm(jnp.einsum('...ers,ies->i...er', zeta, d), safe=True)
         if not self.per_orbital_exponent:
             exponent = exponent[:, None]  # [n_el, 1, n_env]
-        orbs = (pi * jnp.exp(-exponent)).sum(axis=-1)  # [n_el, n_orb]
-        return unflatten(orbs, -1, (self.n_det, -1)).swapaxes(-2, -3)
+        return (pi * jnp.exp(-exponent)).sum(axis=-1)  # [n_el, n_orb_flat]
 
     def __call__(self, phys_conf, nuc_params):
+        """Flat orbital envelopes [n_el, n_det * n_orb], det-major columns.
+
+        The flat layout (column d * n_orb + o is orbital o of determinant
+        d; ``pi``'s rows are already in this order) keeps the minor tensor
+        dims large on the whole determinant channel — see ops/slogdet.py
+        ``slogdet_flat``.
+        """
         diffs = pairwise_diffs(phys_conf.r, phys_conf.R)
         if self.spin_restricted:
             return self._one_spin(self.zetas[0], self.pi[0], diffs)
@@ -143,13 +149,18 @@ class SimplifiedNucleusDependentEnvelopes(nn.Module):
         )
 
     def _one_spin(self, zeta, pi, distance):
-        exponent = (
-            jnp.abs(distance * zeta)
-            if self.per_orbital_exponent
-            else jnp.abs(distance * zeta)[:, :, None]
-        )
-        # [n_el, n_nuc(, n_orb), n_det, n_env] -> [n_det, n_el, n_orb]
-        return jnp.moveaxis((pi * jnp.exp(-exponent)).sum(axis=(1, -1)), 2, 0)
+        # zeta/pi arrive [n_nuc(, n_orb), n_det, n_env]; reorder the
+        # (parameter-sized) arrays determinant-major so the output columns
+        # land in the flat [n_el, n_det * n_orb] layout directly
+        pi = jnp.swapaxes(pi, 1, 2)  # [n_nuc, n_det, n_orb, n_env]
+        if self.per_orbital_exponent:
+            zeta = jnp.swapaxes(zeta, 1, 2)
+            exponent = jnp.abs(distance * zeta)
+        else:
+            exponent = jnp.abs(distance * zeta)[:, :, :, None]
+        # [n_el, n_nuc, n_det, n_orb, n_env] -> [n_el, n_det * n_orb]
+        orbs = (pi * jnp.exp(-exponent)).sum(axis=(1, -1))
+        return orbs.reshape(*orbs.shape[:-2], -1)
 
     def _reshape(self, zeta, orbital_dimension):
         shape = (
@@ -166,7 +177,10 @@ class SimplifiedNucleusDependentEnvelopes(nn.Module):
             (1, 1, self.n_det, self.n_env_per_nuc),
         )
         if self.per_orbital_exponent:
-            distance = jnp.tile(distance[:, :, None], (1, 1, self.n_orb, 1, 1))
+            # orbital axis inserted AFTER the determinant axis (det-major)
+            distance = jnp.tile(
+                distance[:, :, :, None], (1, 1, 1, self.n_orb, 1)
+            )
         zeta_shape = (
             (self.n_nuc, self.n_orb, self.n_det, self.n_env_per_nuc)
             if self.per_orbital_exponent

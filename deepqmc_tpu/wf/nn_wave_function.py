@@ -13,10 +13,10 @@ import jax
 import jax.numpy as jnp
 
 from .. import nn
-from ..ops import slogdet
+from ..ops import slogdet_flat
 from ..physics import pairwise_diffs, pairwise_self_distance
 from ..types import Psi
-from ..utils import flatten, triu_flat
+from ..utils import flatten, triu_flat, unflatten
 
 __all__ = ['NeuralNetworkWaveFunction']
 
@@ -33,8 +33,14 @@ class BackflowOp(nn.Module):
         self.with_envelope = with_envelope
 
     def __call__(self, xs, fs_mult, fs_add, dists_nuc):
+        """Backflow on flat orbitals: all arrays are [n_el, n_det * n_orb].
+
+        The norm for the additive term runs over the flat determinant x
+        orbital column axis — the same det+orb reduction as the reference's
+        [det, el, orb] layout (nn_wave_function.py:19-33 there).
+        """
         if self.with_envelope:
-            envel = jnp.sqrt((xs**2).sum(axis=(-1, -3), keepdims=True))
+            envel = jnp.sqrt((xs**2).sum(axis=-1, keepdims=True))
         else:
             envel = 1
         if fs_mult is not None:
@@ -44,19 +50,28 @@ class BackflowOp(nn.Module):
             cutoff = jnp.where(
                 R < 1, R**2 * (6 - 8 * R + 3 * R**2), jnp.ones_like(R)
             )
-            xs = xs + cutoff[None, :, None] * envel * self.add_act(fs_add)
+            xs = xs + cutoff[:, None] * envel * self.add_act(fs_add)
         return xs
 
 
-def eval_log_slater(xs: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """(sign, log|det|) of a batch of Slater matrices; empty -> (1, 0).
+def eval_log_slater(
+    xs: jax.Array, n_det: int
+) -> tuple[jax.Array, jax.Array]:
+    """Per-determinant (sign, log|det|) of flat Slater matrices.
 
-    Uses the framework's own slogdet primitive so the forward-Laplacian
-    engine can apply its analytic second-order rule.
+    ``xs`` is [..., n, n_det * n] with determinant-major columns; empty
+    matrices give (1, 0) per determinant.  Uses the framework's own
+    flat-layout slogdet primitive so (a) the forward-Laplacian engine can
+    apply its analytic second-order rule and (b) no [n_det, n, n]-shaped
+    tensor — catastrophically tile-padded on TPU for molecular n — is ever
+    materialized upstream (see ops/slogdet.py).
     """
     if xs.shape[-1] == 0:
-        return jnp.ones(xs.shape[:-2]), jnp.zeros(xs.shape[:-2])
-    return slogdet(xs)
+        return (
+            jnp.ones((*xs.shape[:-2], n_det)),
+            jnp.zeros((*xs.shape[:-2], n_det)),
+        )
+    return slogdet_flat(xs, n_det)
 
 
 class NeuralNetworkWaveFunction(nn.Module):
@@ -120,15 +135,22 @@ class NeuralNetworkWaveFunction(nn.Module):
         return self.backflow_op(xs, fs_mult, fs_add, dists_nuc)
 
     def _spin_orbitals(self, phys_conf, fs, nuc_params, dists_nuc):
-        """Per-spin orbital matrices [n_det, n_spin, n_orb] incl. backflow."""
-        orb = self.envelope(phys_conf, nuc_params)  # [n_det, n_el, n_orb]
-        orb_up, orb_down = (
-            (orb, orb)
-            if self.full_determinant
-            else jnp.split(orb, [self.n_up], axis=-1)
-        )
-        orb_up = orb_up[:, : self.n_up]
-        orb_down = orb_down[:, self.n_up :]
+        """Per-spin flat orbital matrices [n_spin, n_det * n_orb].
+
+        The whole determinant channel runs in the flat det-major column
+        layout (see ops/slogdet.py ``slogdet_flat``); for full determinants
+        the spin split is a pure electron-row slice.
+        """
+        orb = self.envelope(phys_conf, nuc_params)  # [n_el, n_det * n_orb]
+        if self.full_determinant:
+            cols_up = cols_down = orb
+        else:
+            # column split per spin: orbital o of det d sits at d * n + o
+            parts = unflatten(orb, -1, (self.n_det, -1))
+            cols_up = flatten(parts[..., : self.n_up], -2)
+            cols_down = flatten(parts[..., self.n_up :], -2)
+        orb_up = cols_up[: self.n_up]
+        orb_down = cols_down[self.n_up :]
         if fs is not None:
             orb_up = self._apply_backflow(orb_up, fs[0], dists_nuc[: self.n_up])
             orb_down = self._apply_backflow(orb_down, fs[1], dists_nuc[self.n_up :])
@@ -138,11 +160,11 @@ class NeuralNetworkWaveFunction(nn.Module):
         """Slater determinants -> exp-normalized linear combination."""
         if self.full_determinant:
             sign, logdet = eval_log_slater(
-                jnp.concatenate([orb_up, orb_down], axis=-2)
+                jnp.concatenate([orb_up, orb_down], axis=-2), self.n_det
             )
         else:
-            sign_up, det_up = eval_log_slater(orb_up)
-            sign_down, det_down = eval_log_slater(orb_down)
+            sign_up, det_up = eval_log_slater(orb_up, self.n_det)
+            sign_down, det_down = eval_log_slater(orb_down, self.n_det)
             sign, logdet = sign_up * sign_down, det_up + det_down
         # exp-normalize across determinants, guarding fully -inf batches
         shift = logdet.max()
@@ -174,7 +196,14 @@ class NeuralNetworkWaveFunction(nn.Module):
         )
         orb_up, orb_down = self._spin_orbitals(phys_conf, fs, nuc_params, dists_nuc)
         if return_mos:
-            return orb_up, orb_down
+            # cold path (pretraining targets): unpack the flat layout into
+            # the reference's [n_det, n_el_spin, n_orb] per-spin matrices
+            def unpack(flat):
+                return jnp.moveaxis(
+                    unflatten(flat, -1, (self.n_det, -1)), -2, -3
+                )
+
+            return unpack(orb_up), unpack(orb_down)
         sign_psi, log_psi = self._determinant_mix(orb_up, orb_down)
         log_psi = self._log_corrections(log_psi, jastrow, dists_nuc, dists_elec)
         return Psi(sign_psi, log_psi)

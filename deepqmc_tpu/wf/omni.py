@@ -61,15 +61,18 @@ class Backflow(nn.Module):
             self.net = subnet_factory(n_backflows * n_orbitals * n_determinants)
 
     def __call__(self, xs):
+        """[n_backflow, n_elec, n_det * n_orbitals] backflow factors.
+
+        The determinant axis stays flattened into the (det-major) column
+        axis — the layout the whole determinant channel runs in (see
+        ops/slogdet.py ``slogdet_flat``); the subnet's output columns are
+        already ordered that way.
+        """
         if self.multi_head:
-            xs = jnp.stack([net(xs) for net in self.nets], axis=-3)
-        else:
-            xs = self.net(xs)
-            xs = unflatten(xs, -1, (-1, self.n_orbitals * self.n_determinants))
-            xs = xs.swapaxes(-2, -3)
-        xs = unflatten(xs, -1, (-1, self.n_orbitals))
+            return jnp.stack([net(xs) for net in self.nets], axis=-3)
+        xs = self.net(xs)
+        xs = unflatten(xs, -1, (-1, self.n_orbitals * self.n_determinants))
         return xs.swapaxes(-2, -3)
-        # -> [n_backflow, n_det, n_elec, n_orbitals]
 
 
 class NuclearGNNHead(nn.Module):

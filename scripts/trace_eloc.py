@@ -91,7 +91,7 @@ def main():
     p.add_argument('--mol', default='H2O')
     p.add_argument('--ansatz', default='psiformer')
     p.add_argument('--top', type=int, default=40)
-    p.add_argument('--what', default='eloc', choices=['eloc', 'fwd'])
+    p.add_argument('--what', default='eloc', choices=['eloc', 'fwd', 'grad'])
     p.add_argument('--tracedir', default='/tmp/eloc_trace')
     p.add_argument('--parse-only', action='store_true')
     args = p.parse_args()
@@ -115,6 +115,19 @@ def main():
                 )(r, p_, c)[0]
             )
             fn_args = (rngs, params, conf)
+        elif args.what == 'grad':
+            # the VMC gradient's pullback: ONE vjp of batched log|psi| with a
+            # per-walker cotangent (loss_function.py:259-263)
+            cot = jnp.ones((args.walkers,)) / args.walkers
+
+            def vjp_once(p_, c, ct):
+                _, pullback = jax.vjp(
+                    lambda pp: jax.vmap(ansatz.apply, (None, 0))(pp, c).log, p_
+                )
+                return pullback(ct)[0]
+
+            fn = jax.jit(vjp_once)
+            fn_args = (params, conf, cot)
         else:
             fn = jax.jit(lambda p_, c: jax.vmap(ansatz.apply, (None, 0))(p_, c).log)
             fn_args = (params, conf)

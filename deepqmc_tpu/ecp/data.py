@@ -119,6 +119,20 @@ def _load_packaged(ecp_type: str):
         z = Z_OF.get(sym.lower())
         if z and (ecp_type.lower(), z) not in _REGISTRY:
             register_ecp_params(ecp_type, z, n_core, local, nonlocal_)
+    # provisional tables: correct core structure and functional-form
+    # identities, but Gaussian parameters unverified against any oracle in
+    # this offline build — loaded last, with a loud warning
+    for f in sorted((tables / 'provisional').glob(f'*.{ecp_type}.gamess')):
+        sym, n_core, local, nonlocal_ = parse_gamess_ecp(f.read_text())
+        z = Z_OF.get(sym.lower())
+        if z and (ecp_type.lower(), z) not in _REGISTRY:
+            log.warning(
+                f'Using PROVISIONAL {ecp_type} ECP parameters for {sym}: the '
+                'core structure is correct but the Gaussian terms are '
+                'unverified (see deepqmc_tpu/ecp/tables/README.md). For '
+                'production, supply the published file via DEEPQMC_TPU_ECP_DIR.'
+            )
+            register_ecp_params(ecp_type, z, n_core, local, nonlocal_)
 
 
 def get_ecp_params(

@@ -180,6 +180,52 @@ def test_packaged_tables_out_of_the_box():
         ).all()
 
 
+@pytest.mark.skipif(not REF_POTENTIAL.exists(), reason='reference goldens absent')
+@pytest.mark.parametrize('ecp_type', ['bfd', 'ccECP'])
+def test_packaged_lih_tables_against_reference_goldens(ecp_type):
+    """Packaged Li tables reproduce the reference's LiH golden potentials.
+
+    The LiH golden configuration's electrons sit >2 bohr from the Li core,
+    so this pins n_core/Z_eff (and the walker-init heuristic) tightly but
+    the short-range Gaussian terms only weakly — see ecp/tables/README.md.
+    """
+    old = jax.config.jax_threefry_partitionable
+    jax.config.update('jax_threefry_partitionable', False)
+    try:
+        golden = float(
+            np.load(
+                REF_POTENTIAL / f'test_pseudo_potentials_LiH_{ecp_type}_.npz'
+            )['local_potential']
+        )
+        mol = Molecule.from_name('LiH')
+        h = MolecularHamiltonian(mol=mol, ecp_type=ecp_type)
+        pc = h.init_sample(jax.random.PRNGKey(0), mol.coords, 1, 1.0)[0]
+        got = float(h.potential.local_potential(pc))
+        assert got == pytest.approx(golden, rel=1e-6)
+    finally:
+        jax.config.update('jax_threefry_partitionable', old)
+
+
+def test_provisional_sc_table_loads_with_warning(caplog):
+    """ScO + ccECP builds out of the box from the provisional Sc table."""
+    import logging
+
+    from deepqmc_tpu.ecp.data import _REGISTRY
+
+    # drop any previously-loaded entry so the provisional-load warning fires
+    _REGISTRY.pop(('ccecp', 21), None)
+    with caplog.at_level(logging.WARNING, logger='deepqmc_tpu.ecp.data'):
+        h = MolecularHamiltonian(mol=Molecule.from_name('ScO'), ecp_type='ccECP')
+    # Ne-core Sc (Z_eff 11) + ccECP O (Z_eff 6)
+    assert np.asarray(h.ns_valence).tolist() == [11.0, 6.0]
+    pc = h.init_sample(jax.random.PRNGKey(1), h.mol.coords, 2)
+    assert np.isfinite(
+        np.asarray(jax.vmap(h.potential.local_potential)(pc))
+    ).all()
+    assert any('PROVISIONAL' in r.message for r in caplog.records)
+
+
 def test_unpackaged_element_raises():
     with pytest.raises(ValueError, match='No .* ECP parameters'):
-        MolecularHamiltonian(mol=Molecule.from_name('ScO'), ecp_type='ccECP')
+        # no bfd table for Sc is packaged, not even provisionally
+        MolecularHamiltonian(mol=Molecule.from_name('ScO'), ecp_type='bfd')

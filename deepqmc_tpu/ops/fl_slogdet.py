@@ -320,26 +320,31 @@ def slogdet_fl_flat_split(a_flat, ju_flat, jd_flat, la_flat, n_det):
     )
 
 
-def _flat_split_kernel(il_ref, ir_ref, ju_ref, jd_ref, jout_ref, trq_ref):
+def _flat_split_kernel(invf_ref, ju_ref, jd_ref, jout_ref, trq_ref):
     # ONE program per walker block; the determinant loop runs in-kernel so
-    # the flat Jacobian block is fetched from HBM exactly once.  Per det:
-    # static lane slices (VMEM-resident, Mosaic relayout) unpack the det's
-    # columns, then the existing W*K-batched contractions produce
-    # tr(A^-1 J_k) (= tr m) and sum_k tr(m^2).
-    W, D, n, nu = il_ref.shape
-    nd = ir_ref.shape[3]
+    # the flat Jacobian AND flat inverse blocks are fetched from HBM exactly
+    # once (neither the [D, n, n] inverse nor any padded square tensor is
+    # ever materialized).  Per det: static lane slices (VMEM-resident,
+    # Mosaic relayout) unpack the det's columns, then the W*K-batched
+    # contractions produce tr(A^-1 J_k) (= tr m) and sum_k tr(m^2).
+    W, n, Dn = invf_ref.shape
+    D = Dn // n
+    nu = ju_ref.shape[2]
+    nd = jd_ref.shape[2]
     K = ju_ref.shape[1]
-    eye = jnp.eye(n, dtype=il_ref.dtype)
+    eye = jnp.eye(n, dtype=invf_ref.dtype)
     jouts, trqs = [], []
     for d in range(D):
         ju_d = ju_ref[:, :, :, d * n:(d + 1) * n].reshape(W * K, nu, n)
         jd_d = jd_ref[:, :, :, d * n:(d + 1) * n].reshape(W * K, nd, n)
-        il_rep = jnp.broadcast_to(
-            il_ref[:, d][:, None], (W, K, n, nu)
-        ).reshape(W * K, n, nu)
-        ir_rep = jnp.broadcast_to(
-            ir_ref[:, d][:, None], (W, K, n, nd)
-        ).reshape(W * K, n, nd)
+        il_d = invf_ref[:, :, d * n:d * n + nu]  # [W, n, nu]
+        ir_d = invf_ref[:, :, d * n + nu:(d + 1) * n]  # [W, n, nd]
+        il_rep = jnp.broadcast_to(il_d[:, None], (W, K, n, nu)).reshape(
+            W * K, n, nu
+        )
+        ir_rep = jnp.broadcast_to(ir_d[:, None], (W, K, n, nd)).reshape(
+            W * K, n, nd
+        )
         m = _bmm(il_rep, ju_d, ((2,), (1,))) + _bmm(ir_rep, jd_d, ((2,), (1,)))
         jouts.append((m * eye).sum(axis=2).reshape(W, K, n).sum(axis=2))
         q = _bmm(m, m, ((2,), (1,)))
@@ -359,20 +364,20 @@ def _pallas_blocked_flat_split(a_flat, ju, jd, la, n_det, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from .slogdet import unflatten_dets
+    from .linalg_small import inv_flat_small, slogdet_flat_small
+    from .slogdet import _flat_transpose
 
     B, K, nu, _ = ju.shape
     nd = jd.shape[2]
     n = nu + nd
     D = n_det
-    a = unflatten_dets(a_flat, D)  # [B, D, n, n] — primal only
-    sign, logdet = slogdet_small(a)
-    inv_a = inv_small(a)
-    inv_l, inv_r = inv_a[..., :nu], inv_a[..., nu:]
+    # primal linear algebra entirely in the flat layout: the tile-padded
+    # [B, D, n, n] tensor is never materialized (12.8x HBM waste at n ~ 10)
+    sign, logdet = slogdet_flat_small(a_flat, D)
+    inv_flat = inv_flat_small(a_flat, D)  # [B, n, D*n]
     # linear Laplacian term on the flat layout, outside the kernel:
     # tr(A_d^-1 L_d) = sum_{j,i} invT_flat[j, d*n+i] * la_flat[j, d*n+i]
-    # invT_flat[b, j, d*n + i] = inv_a[b, d, i, j]
-    invt_flat = jnp.transpose(inv_a, (0, 3, 1, 2)).reshape(B, n, D * n)
+    invt_flat = _flat_transpose(inv_flat, D)
     s_l = (invt_flat * la).sum(axis=-2)  # [B, D*n]
     t1b = (
         jax.lax.broadcasted_iota(jnp.int32, (D * n, D), 0) // n
@@ -384,16 +389,15 @@ def _pallas_blocked_flat_split(a_flat, ju, jd, la, n_det, interpret=False):
     pad = (-B) % W
     if pad:
         padb = lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
-        inv_l, inv_r, ju, jd = map(padb, (inv_l, inv_r, ju, jd))
-    n_blocks = inv_l.shape[0] // W
-    Bp = inv_l.shape[0]
+        inv_flat, ju, jd = map(padb, (inv_flat, ju, jd))
+    n_blocks = inv_flat.shape[0] // W
+    Bp = inv_flat.shape[0]
 
     vmem = pltpu.VMEM
 
-    def inv_spec(cols):
-        return pl.BlockSpec(
-            (W, D, n, cols), lambda i: (i, 0, 0, 0), memory_space=vmem
-        )
+    inv_spec = pl.BlockSpec(
+        (W, n, D * n), lambda i: (i, 0, 0), memory_space=vmem
+    )
 
     def jac_spec(rows):
         return pl.BlockSpec(
@@ -407,7 +411,7 @@ def _pallas_blocked_flat_split(a_flat, ju, jd, la, n_det, interpret=False):
             jax.ShapeDtypeStruct((Bp, K, D), a_flat.dtype),
             jax.ShapeDtypeStruct((Bp, D), a_flat.dtype),
         ),
-        in_specs=[inv_spec(nu), inv_spec(nd), jac_spec(nu), jac_spec(nd)],
+        in_specs=[inv_spec, jac_spec(nu), jac_spec(nd)],
         out_specs=(
             pl.BlockSpec((W, K, D), lambda i: (i, 0, 0), memory_space=vmem),
             pl.BlockSpec((W, D), lambda i: (i, 0), memory_space=vmem),
@@ -423,7 +427,7 @@ def _pallas_blocked_flat_split(a_flat, ju, jd, la, n_det, interpret=False):
                 )
             }
         ),
-    )(inv_l, inv_r, ju, jd)
+    )(inv_flat, ju, jd)
     if pad:
         jout, trq = jout[:B], trq[:B]
     return sign, logdet, jout, lout_lin - trq

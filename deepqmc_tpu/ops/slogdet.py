@@ -18,7 +18,12 @@ import jax.numpy as jnp
 from jax.extend import core as jex_core
 from jax.interpreters import ad, batching, mlir
 
-from .linalg_small import inv_small, slogdet_small
+from .linalg_small import (
+    inv_flat_small,
+    inv_small,
+    slogdet_flat_small,
+    slogdet_small,
+)
 
 __all__ = ['slogdet', 'slogdet_flat', 'unflatten_dets']
 
@@ -117,7 +122,19 @@ def slogdet_flat(a_flat: jax.Array, n_det: int) -> tuple[jax.Array, jax.Array]:
 
 
 def _flat_impl(a_flat, *, n_det):
+    if a_flat.shape[-2] <= SMALL_N:
+        # elimination directly on the flat layout: never materializes the
+        # tile-padded [..., D, n, n] tensor (~12.8x HBM waste at n ~ 10)
+        return slogdet_flat_small(a_flat, n_det)
     return _impl(unflatten_dets(a_flat, n_det))
+
+
+def _flat_transpose(x_flat, n_det):
+    """Per-det transpose in the flat layout: [..., n, D*n] -> [..., n, D*n]."""
+    n = x_flat.shape[-2]
+    parts = x_flat.reshape(*x_flat.shape[:-1], n_det, n)
+    parts = jnp.swapaxes(parts, -1, -3)
+    return parts.reshape(*x_flat.shape[:-2], n, n_det * n)
 
 
 def _flat_abstract_eval(a_flat, *, n_det):
@@ -143,11 +160,21 @@ def _flat_jvp_rule(primals, tangents, *, n_det):
     if isinstance(da, ad.Zero):
         d_logdet = ad.Zero.from_primal_value(logdet)
     else:
-        inv_a = _inv(unflatten_dets(a_flat, n_det))  # [..., D, n, n]
-        da_unf = da.reshape(*da.shape[:-1], n_det, -1)  # [..., n(j), D, n(i)]
-        # d log|det A_d| = tr(A_d^-1 dA_d), contracted without transposing
-        # the (much larger) tangent into the padded [D, n, n] layout
-        d_logdet = jnp.einsum('...dij,...jdi->...d', inv_a, da_unf)
+        n = a_flat.shape[-2]
+        if n <= SMALL_N:
+            # d log|det A_d| = tr(A_d^-1 dA_d) entirely in the flat layout:
+            # sum_ij (A_d^-T)[j, i] dA_d[j, i], det-block lane sums via a
+            # [D*n, D] summation matrix (one small GEMM)
+            invt = _flat_transpose(inv_flat_small(a_flat, n_det), n_det)
+            s = (invt * da).sum(axis=-2)  # [..., D*n]
+            t1 = (
+                jnp.arange(n_det * n)[:, None] // n == jnp.arange(n_det)[None]
+            ).astype(a_flat.dtype)
+            d_logdet = s @ t1
+        else:
+            inv_a = _inv(unflatten_dets(a_flat, n_det))  # [..., D, n, n]
+            da_unf = da.reshape(*da.shape[:-1], n_det, -1)
+            d_logdet = jnp.einsum('...dij,...jdi->...d', inv_a, da_unf)
     d_sign = ad.Zero.from_primal_value(sign)
     return (sign, logdet), (d_sign, d_logdet)
 

@@ -74,7 +74,7 @@ class KFAC:
         damping_schedule=None,
         norm_constraint: float = 1e-3,
         curvature_ema: float = 0.95,
-        inverse_update_period: int = 1,
+        inverse_update_period: int = 5,
         estimation_mode: str = 'fisher_exact',
         num_burnin_steps: int = 0,
         min_damping: float = 1e-8,

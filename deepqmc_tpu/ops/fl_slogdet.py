@@ -320,41 +320,106 @@ def slogdet_fl_flat_split(a_flat, ju_flat, jd_flat, la_flat, n_det):
     )
 
 
-def _flat_split_kernel(invf_ref, ju_ref, jd_ref, jout_ref, trq_ref):
-    # ONE program per walker block; the determinant loop runs in-kernel so
-    # the flat Jacobian AND flat inverse blocks are fetched from HBM exactly
-    # once (neither the [D, n, n] inverse nor any padded square tensor is
-    # ever materialized).  Per det: static lane slices (VMEM-resident,
-    # Mosaic relayout) unpack the det's columns, then the W*K-batched
-    # contractions produce tr(A^-1 J_k) (= tr m) and sum_k tr(m^2).
+def _flat_split_kernel(invf_ref, invtf_ref, juk_ref, jdk_ref, jout_ref, trq_ref):
+    """ONE program per walker block; all det/direction unpacking in VMEM.
+
+    Inputs (pre-arranged OUTSIDE the kernel — XLA transposes are cheap in
+    HBM, Mosaic minor-dim reshapes do not exist):
+
+      invf_ref  [W, n, D*n]      flat inverse (det-major lanes)
+      invtf_ref [W, n, D*n]      flat per-det-transposed inverse
+      juk_ref   [W, D, nu, K*n]  up-rows Jacobian: det-major leading axis,
+                                 direction-major (k, col) lanes
+      jdk_ref   [W, D, nd, K*n]  down-rows Jacobian
+
+    Outputs: jout [W, K, D] = tr(A_d^-1 J_k,d);
+             trq  [W*D, 1]  = sum_k tr((A_d^-1 J_k,d)^2).
+
+    Mosaic lowers a batched dot_general to a SERIAL loop over the batch at
+    ~8 ns/iteration regardless of operand size up to MXU tiles
+    (scripts/probe_vpu_contract.py), so the kernel minimizes loop
+    iterations, not FLOPs: m = A_d^-1 J_k,d runs as ONE batched GEMM pair
+    at batch W*D with all K directions column-stacked in the rhs
+    ([n, nu] x [nu, K*n]) — ~60x fewer iterations than batch W*K*D of
+    [n, nu] x [nu, n] — and tr(m^2) uses a (legal) minor-pair transpose
+    of the per-direction blocks instead of a second GEMM.
+    """
     W, n, Dn = invf_ref.shape
     D = Dn // n
-    nu = ju_ref.shape[2]
-    nd = jd_ref.shape[2]
-    K = ju_ref.shape[1]
-    eye = jnp.eye(n, dtype=invf_ref.dtype)
-    jouts, trqs = [], []
+    nu = juk_ref.shape[2]
+    nd = jdk_ref.shape[2]
+    Kn = juk_ref.shape[3]
+    K = Kn // n
+
+    juk = juk_ref[...]
+    jdk = jdk_ref[...]
+    invf = invf_ref[...]
+    invtf = invtf_ref[...]
+
+    # per-det inverse column blocks, stacked on a leading axis
+    il = jnp.stack(
+        [
+            jax.lax.slice(invf, (0, 0, d * n), (W, n, d * n + nu))
+            for d in range(D)
+        ],
+        axis=1,
+    ).reshape(W * D, n, nu)
+    ir = jnp.stack(
+        [
+            jax.lax.slice(invf, (0, 0, d * n + nu), (W, n, (d + 1) * n))
+            for d in range(D)
+        ],
+        axis=1,
+    ).reshape(W * D, n, nd)
+
+    # m in column-stacked form: [W*D, n, K*n]
+    m_col = _bmm(il, juk.reshape(W * D, nu, Kn), ((2,), (1,))) + _bmm(
+        ir, jdk.reshape(W * D, nd, Kn), ((2,), (1,))
+    )
+
+    # sum_k tr(m_k^2) = <m_k, m_k^T>: per-k lane slices stacked on a
+    # non-minor axis, then a minor-pair transpose + elementwise reduce
+    m_k = jnp.stack(
+        [
+            jax.lax.slice(m_col, (0, 0, k * n), (W * D, n, (k + 1) * n))
+            for k in range(K)
+        ],
+        axis=1,
+    )  # [W*D, K, n, n]
+    m_kt = jnp.swapaxes(m_k, -1, -2)
+    trq = (m_k * m_kt).sum(axis=3).sum(axis=2)  # [W*D, K]
+    trq_ref[...] = trq.sum(axis=1, keepdims=True)  # [W*D, 1]
+
+    # jout: tr(A_d^-1 J_k,d) — elementwise against the tiled transposed
+    # inverse, per-direction lane-block sums via a [K*n, K] summation GEMM
+    t2 = (
+        jax.lax.broadcasted_iota(jnp.int32, (Kn, K), 0) // n
+        == jax.lax.broadcasted_iota(jnp.int32, (Kn, K), 1)
+    ).astype(invf.dtype)
+    jouts = []
     for d in range(D):
-        ju_d = ju_ref[:, :, :, d * n:(d + 1) * n].reshape(W * K, nu, n)
-        jd_d = jd_ref[:, :, :, d * n:(d + 1) * n].reshape(W * K, nd, n)
-        il_d = invf_ref[:, :, d * n:d * n + nu]  # [W, n, nu]
-        ir_d = invf_ref[:, :, d * n + nu:(d + 1) * n]  # [W, n, nd]
-        il_rep = jnp.broadcast_to(il_d[:, None], (W, K, n, nu)).reshape(
-            W * K, n, nu
-        )
-        ir_rep = jnp.broadcast_to(ir_d[:, None], (W, K, n, nd)).reshape(
-            W * K, n, nd
-        )
-        m = _bmm(il_rep, ju_d, ((2,), (1,))) + _bmm(ir_rep, jd_d, ((2,), (1,)))
-        jouts.append((m * eye).sum(axis=2).reshape(W, K, n).sum(axis=2))
-        q = _bmm(m, m, ((2,), (1,)))
-        trqs.append(
-            (q * eye).sum(axis=2).reshape(W, K, n).sum(axis=2).sum(
-                axis=1, keepdims=True
+        invt_d = jax.lax.slice(invtf, (0, 0, d * n), (W, n, (d + 1) * n))
+        iu = jnp.concatenate(
+            [jax.lax.slice_in_dim(invt_d, 0, nu, axis=1)] * K, axis=2
+        )  # [W, nu, K*n]
+        idn = jnp.concatenate(
+            [jax.lax.slice_in_dim(invt_d, nu, n, axis=1)] * K, axis=2
+        )  # [W, nd, K*n]
+        ju_d = jax.lax.slice(
+            juk, (0, d, 0, 0), (W, d + 1, nu, Kn)
+        ).reshape(W, nu, Kn)
+        jd_d = jax.lax.slice(
+            jdk, (0, d, 0, 0), (W, d + 1, nd, Kn)
+        ).reshape(W, nd, Kn)
+        s = (iu * ju_d).sum(axis=1) + (idn * jd_d).sum(axis=1)  # [W, K*n]
+        jouts.append(
+            jax.lax.dot_general(
+                s, t2, (((1,), (0,)), ((), ())),
+                preferred_element_type=invf.dtype,
+                precision=jax.lax.Precision.HIGHEST,
             )
-        )
+        )  # [W, K]
     jout_ref[...] = jnp.stack(jouts, axis=2)  # [W, K, D]
-    trq_ref[...] = jnp.concatenate(trqs, axis=1)  # [W, D]
 
 
 @functools.partial(
@@ -385,11 +450,22 @@ def _pallas_blocked_flat_split(a_flat, ju, jd, la, n_det, interpret=False):
     ).astype(a_flat.dtype)
     lout_lin = s_l @ t1b  # [B, D]
 
+    def rearrange_dirs(j, rows):
+        """[B, K, rows, D*n] -> [B, D, rows, K*n] (det-major leading)."""
+        x = j.reshape(B, K, rows, D, n)
+        x = jnp.transpose(x, (0, 3, 2, 1, 4))
+        return x.reshape(B, D, rows, K * n)
+
+    juk = rearrange_dirs(ju, nu)
+    jdk = rearrange_dirs(jd, nd)
+
     W = min(WALKER_BLOCK, B)
     pad = (-B) % W
     if pad:
         padb = lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
-        inv_flat, ju, jd = map(padb, (inv_flat, ju, jd))
+        inv_flat, invt_flat, juk, jdk = map(
+            padb, (inv_flat, invt_flat, juk, jdk)
+        )
     n_blocks = inv_flat.shape[0] // W
     Bp = inv_flat.shape[0]
 
@@ -401,7 +477,7 @@ def _pallas_blocked_flat_split(a_flat, ju, jd, la, n_det, interpret=False):
 
     def jac_spec(rows):
         return pl.BlockSpec(
-            (W, K, rows, D * n), lambda i: (i, 0, 0, 0), memory_space=vmem
+            (W, D, rows, K * n), lambda i: (i, 0, 0, 0), memory_space=vmem
         )
 
     jout, trq = pl.pallas_call(
@@ -409,12 +485,12 @@ def _pallas_blocked_flat_split(a_flat, ju, jd, la, n_det, interpret=False):
         grid=(n_blocks,),
         out_shape=(
             jax.ShapeDtypeStruct((Bp, K, D), a_flat.dtype),
-            jax.ShapeDtypeStruct((Bp, D), a_flat.dtype),
+            jax.ShapeDtypeStruct((Bp * D, 1), a_flat.dtype),
         ),
-        in_specs=[inv_spec, jac_spec(nu), jac_spec(nd)],
+        in_specs=[inv_spec, inv_spec, jac_spec(nu), jac_spec(nd)],
         out_specs=(
             pl.BlockSpec((W, K, D), lambda i: (i, 0, 0), memory_space=vmem),
-            pl.BlockSpec((W, D), lambda i: (i, 0), memory_space=vmem),
+            pl.BlockSpec((W * D, 1), lambda i: (i, 0), memory_space=vmem),
         ),
         interpret=interpret,
         **(
@@ -427,7 +503,8 @@ def _pallas_blocked_flat_split(a_flat, ju, jd, la, n_det, interpret=False):
                 )
             }
         ),
-    )(inv_flat, ju, jd)
+    )(inv_flat, invt_flat, juk, jdk)
+    trq = trq.reshape(Bp, D)
     if pad:
         jout, trq = jout[:B], trq[:B]
     return sign, logdet, jout, lout_lin - trq

@@ -202,3 +202,34 @@ def test_slogdet_flat_reverse_ad():
     g_flat = jax.grad(f_flat)(_flatten_dets(a))
     g_ref = _flatten_dets(jax.grad(f_ref)(a))
     np.testing.assert_allclose(np.asarray(g_flat), np.asarray(g_ref), rtol=1e-10)
+
+
+def test_flat_elimination_matches_square():
+    """Flat-layout slogdet/inverse are bitwise-equal to the square path.
+
+    The flat variants run the same pivoted elimination on the ansatz's
+    native [.., n, D*n] layout (ops/linalg_small.py), so pivoting decisions
+    — and therefore floating-point results — must match exactly.
+    """
+    from deepqmc_tpu.ops.linalg_small import (
+        inv_flat_small,
+        inv_small,
+        slogdet_flat_small,
+        slogdet_small,
+    )
+    from deepqmc_tpu.ops.slogdet import unflatten_dets
+
+    rng = np.random.default_rng(11)
+    B, D, n = 5, 4, 7
+    a_flat = jnp.asarray(rng.normal(size=(B, n, D * n)), jnp.float64)
+    a = unflatten_dets(a_flat, D)
+    s, l = slogdet_flat_small(a_flat, D)
+    s_ref, l_ref = slogdet_small(a)
+    np.testing.assert_array_equal(np.asarray(s), np.asarray(s_ref))
+    np.testing.assert_array_equal(np.asarray(l), np.asarray(l_ref))
+    inv_f = unflatten_dets(inv_flat_small(a_flat, D), D)
+    np.testing.assert_array_equal(np.asarray(inv_f), np.asarray(inv_small(a)))
+    # and against numpy, loosely (different pivoting path than LAPACK)
+    np.testing.assert_allclose(
+        np.asarray(inv_f), np.linalg.inv(np.asarray(a)), atol=1e-10
+    )

@@ -304,9 +304,96 @@ def _make_head_fn_kron(W, n, K, dh, dtype):
     return per_head
 
 
+def _make_head_fn_colform(W, n, K, dh, dtype):
+    """Per-head FL attention with NO batch-W*K contractions.
+
+    Mosaic lowers a batched ``dot_general`` to a serial loop over the batch
+    (~8 ns/iteration — scripts/probe_vpu_contract.py), so the W*K-batched
+    forms in :func:`_make_head_fn` cost ~240 iterations each.  Here every
+    contraction is batch-W with the K directions row- or column-stacked
+    into the GEMM shape ([K*n, dh] x [dh, n] and friends), and the form
+    conversions (row <-> col) are per-direction static lane/sublane slices
+    + concats of VMEM-resident blocks — the pattern proven to legalize in
+    ops/fl_slogdet.py's column-stacked kernel.
+    """
+    scale = jnp.asarray(1.0, dtype) / jnp.sqrt(jnp.asarray(dh, dtype))
+
+    def k_blocks(x, axis_from, size):
+        """Static per-direction slices [K x block] along ``axis_from``."""
+        blocks = []
+        for k in range(K):
+            idx_lo = [0] * x.ndim
+            idx_hi = list(x.shape)
+            idx_lo[axis_from] = k * size
+            idx_hi[axis_from] = (k + 1) * size
+            blocks.append(jax.lax.slice(x, idx_lo, idx_hi))
+        return blocks
+
+    def squeeze1(x, axis):
+        return x.reshape(*x.shape[:axis], *x.shape[axis + 1:])
+
+    def per_head(qh, kh, vh, jqh, jkh, jvh, lqh, lkh, lvh):
+        # jqh/jkh/jvh: [W, K, n, dh]
+        jq_rows = jqh.reshape(W, K * n, dh)
+        jv_rows = jvh.reshape(W, K * n, dh)
+
+        # arrangements: [W, K, n, dh] -> [W, dh, K*n] (transposed col-stack)
+        jk_t = jnp.swapaxes(jkh, -1, -2)  # [W, K, dh, n]
+        jk_cols_t = jnp.concatenate(
+            [squeeze1(b, 1) for b in k_blocks(jk_t, 1, 1)], axis=-1
+        )  # [W, dh, K*n]
+        # [W, K, n, dh] -> [W, n, K*dh] (direction-major lanes)
+        jq_kd = jnp.concatenate(
+            [squeeze1(b, 1) for b in k_blocks(jqh, 1, 1)], axis=-1
+        )  # [W, n, K*dh]
+        jk_kd_rows = jnp.concatenate(
+            [squeeze1(b, 1) for b in k_blocks(jk_t, 1, 1)], axis=1
+        )  # [W, K*dh, n]
+        jv_cols = jnp.concatenate(
+            [squeeze1(b, 1) for b in k_blocks(jvh, 1, 1)], axis=-1
+        )  # [W, n, K*dh]
+
+        z = _bmm(qh, kh, ((2,), (2,))) * scale  # [W, n, n]
+        jz1 = _bmm(jq_rows, kh, ((2,), (2,)))  # [W, K*n, n] row form
+        jz2_col = _bmm(qh, jk_cols_t, ((2,), (1,)))  # [W, n, K*n] col form
+        # col -> row: per-direction [W, n, n] lane blocks, stacked on rows
+        jz2_rows = jnp.concatenate(k_blocks(jz2_col, 2, n), axis=1)
+        jz = ((jz1 + jz2_rows) * scale).reshape(W, K, n, n)
+        cross_z = _bmm(jq_kd, jk_kd_rows, ((2,), (1,)))  # [W, n, n]
+        lz = (
+            _bmm(lqh, kh, ((2,), (2,)))
+            + _bmm(qh, lkh, ((2,), (2,)))
+            + 2 * cross_z
+        ) * scale
+
+        a, ja, la = _softmax_fl(z, jz, lz, k_axis=1)  # ja [W, K, n, n]
+
+        t = _bmm(a, vh, ((2,), (1,)))  # [W, n, dh]
+        ja_rows = ja.reshape(W, K * n, n)
+        jt1 = _bmm(ja_rows, vh, ((2,), (1,)))  # [W, K*n, dh]
+        jt2_col = _bmm(a, jv_cols, ((2,), (1,)))  # [W, n, K*dh]
+        jt2_rows = jnp.concatenate(k_blocks(jt2_col, 2, dh), axis=1)
+        jt = (jt1 + jt2_rows).reshape(W, K, n, dh)
+        # cross_t: joint (k, j) contraction — Ja col-stacked along lanes
+        ja_col = jnp.concatenate(
+            [squeeze1(b, 1) for b in k_blocks(ja, 1, 1)], axis=-1
+        )  # [W, n, K*n]
+        cross_t = _bmm(ja_col, jv_rows, ((2,), (1,)))  # [W, n, dh]
+        lt = (
+            _bmm(la, vh, ((2,), (1,)))
+            + _bmm(a, lvh, ((2,), (1,)))
+            + 2 * cross_t
+        )
+        return t, jt, lt
+
+    return per_head
+
+
 def _head_fn_factory():
     if _os.environ.get('DEEPQMC_TPU_ATTN_KRON'):
         return _make_head_fn_kron
+    if _os.environ.get('DEEPQMC_TPU_ATTN_COLFORM'):
+        return _make_head_fn_colform
     return _make_head_fn
 
 

@@ -44,12 +44,26 @@ def get_process_index() -> int:
 def maybe_init_multi_host():
     """Initialize the distributed runtime on multi-host platforms.
 
-    On TPU pods ``jax.distributed.initialize`` auto-detects the coordinator; on
-    single-host runs this is a no-op.  Explicit opt-in via the
-    ``DEEPQMC_TPU_MULTIHOST`` env var to avoid surprising hangs in unit tests.
+    On TPU pods (and under SLURM) ``jax.distributed.initialize`` auto-detects
+    the coordinator, replacing the reference's hand-rolled SLURM bootstrap
+    (/root/reference/src/deepqmc/parallel.py:17-54).  Off those platforms the
+    coordinator can be pinned explicitly via ``DEEPQMC_TPU_COORDINATOR_ADDRESS``
+    / ``DEEPQMC_TPU_NUM_PROCESSES`` / ``DEEPQMC_TPU_PROCESS_ID`` (e.g. the
+    two-process CPU collective test, tests/test_multihost.py).  Explicit opt-in
+    via the ``DEEPQMC_TPU_MULTIHOST`` env var to avoid surprising hangs in
+    unit tests.
     """
-    if os.environ.get('DEEPQMC_TPU_MULTIHOST', '').lower() in ('1', 'true'):
-        jax.distributed.initialize()
+    if os.environ.get('DEEPQMC_TPU_MULTIHOST', '').lower() not in ('1', 'true'):
+        return
+    kwargs = {}
+    address = os.environ.get('DEEPQMC_TPU_COORDINATOR_ADDRESS')
+    if address:
+        kwargs = dict(
+            coordinator_address=address,
+            num_processes=int(os.environ['DEEPQMC_TPU_NUM_PROCESSES']),
+            process_id=int(os.environ['DEEPQMC_TPU_PROCESS_ID']),
+        )
+    jax.distributed.initialize(**kwargs)
 
 
 _mesh_override: Optional[Mesh] = None

@@ -233,6 +233,18 @@ def _resolve_interpolation(expr: str, root):
     if expr.startswith('eval:'):
         code = yaml.safe_load(expr[len('eval:') :])
         return eval(code)  # noqa: S307 (the reference exposes the same resolver)
+    if expr.rstrip(':') == 'process_idx_suffix':
+        # reference custom resolver (conf/custom_resolvers.py:9-14)
+        from .train import process_idx_suffix
+
+        return process_idx_suffix()
+    if expr.rstrip(':') == 'mode_subdir':
+        # reference custom resolver (conf/custom_resolvers.py:17-20)
+        try:
+            evaluate = bool(root['task']['evaluate'])
+        except (KeyError, TypeError):
+            evaluate = False
+        return 'evaluation' if evaluate else 'training'
     node = root
     for k in expr.split('.'):
         node = node[k]

@@ -73,6 +73,15 @@ def test_eval_resolver():
     assert out['f'](1) == 2
 
 
+def test_reference_custom_resolvers():
+    # reference conf/custom_resolvers.py: ${mode_subdir:} / ${process_idx_suffix:}
+    node = {'task': {'evaluate': True}, 'sub': '${mode_subdir:}'}
+    assert instantiate(node)['sub'] == 'evaluation'
+    node = {'task': {'steps': 5}, 'sub': '${mode_subdir:}'}
+    assert instantiate(node)['sub'] == 'training'
+    assert instantiate({'s': '${process_idx_suffix:}'})['s'] == ''
+
+
 def test_missing_value_raises():
     with pytest.raises(MissingValueError):
         instantiate({'x': '???'})

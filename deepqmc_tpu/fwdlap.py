@@ -649,7 +649,7 @@ def _interpret(jaxpr, consts, args, n):
                     invals, n, int(sub_name.rsplit('_', 1)[1])
                 )
             elif (
-                sub_name == '_psiformer_block'
+                sub_name in ('_psiformer_block', '_gnn_stack')
                 and _use_block_kernel()
                 and (outs := _try_block_rule(eqn, invals, n)) is not None
             ):

@@ -5,6 +5,7 @@ configured into FermiNet / PauliNet / DeepErwin / PsiFormer via the update
 features and subnetwork factories.
 """
 
+import os
 from itertools import accumulate
 from typing import Optional
 
@@ -280,6 +281,26 @@ class ElectronGNN(nn.Module):
                 R=jnp.concatenate([phys_conf.R, self.ghost_coords], axis=-2)
             )
         graph = Graph(self.node_factory(phys_conf), self.edge_factory(phys_conf))
+        if (
+            os.environ.get('DEEPQMC_TPU_GNN_STACK_BLOCK')
+            and not self.edge_types
+            and graph.nodes.nuclei is None
+        ):
+            # edge-free electron-only stacks (PsiFormer) are one h -> h
+            # function; a single named-jit unit lets the forward-Laplacian
+            # engine fuse ALL layers into one kernel, so the [walker, 3N,
+            # elec, dim] Jacobian channel crosses HBM twice per network
+            # instead of twice per layer
+            def stack(h):
+                g = Graph(GraphNodes(None, h), {})
+                for layer in self.layers:
+                    g = layer(g)
+                return g.nodes.electrons
+
+            electrons = nn.named_jit_block(
+                '_gnn_stack', stack, graph.nodes.electrons
+            )
+            return GraphNodes(None, electrons)
         for layer in self.layers:
             graph = layer(graph)
         return graph.nodes

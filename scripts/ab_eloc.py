@@ -39,12 +39,25 @@ VARIANTS = {
         'DEEPQMC_TPU_BLOCK_KERNEL': '1',
         'BLOCK_WB': 8,
     },
+    'stack_colform_w1': {
+        'DEEPQMC_TPU_ATTN_COLFORM': '1',
+        'DEEPQMC_TPU_BLOCK_KERNEL': '1',
+        'DEEPQMC_TPU_GNN_STACK_BLOCK': '1',
+        'BLOCK_WB': 1,
+    },
+    'stack_colform_w4': {
+        'DEEPQMC_TPU_ATTN_COLFORM': '1',
+        'DEEPQMC_TPU_BLOCK_KERNEL': '1',
+        'DEEPQMC_TPU_GNN_STACK_BLOCK': '1',
+        'BLOCK_WB': 4,
+    },
 }
 
 FLAG_KEYS = [
     'DEEPQMC_TPU_ATTN_COLFORM',
     'DEEPQMC_TPU_ATTN_KRON',
     'DEEPQMC_TPU_BLOCK_KERNEL',
+    'DEEPQMC_TPU_GNN_STACK_BLOCK',
 ]
 
 

@@ -95,9 +95,11 @@ def test_supported_scan_rejects_foreign_primitives():
     assert not block_jaxpr_supported(closed, [True] + [False] * len(params))
 
 
-def test_block_dispatch_matches_per_primitive_on_psiformer(helpers):
+@pytest.mark.parametrize('stack', [False, True])
+def test_block_dispatch_matches_per_primitive_on_psiformer(helpers, stack):
     """Real psiformer ansatz: eloc gradient/laplacian with the block kernel
-    (interpret mode) == the per-primitive interpreter path."""
+    (interpret mode) == the per-primitive interpreter path.  ``stack=True``
+    additionally fuses ALL layers into one block (_gnn_stack)."""
     from deepqmc_tpu.fwdlap import forward_laplacian
     from deepqmc_tpu.presets import ansatz_preset
     from deepqmc_tpu.wf import instantiate_ansatz
@@ -128,10 +130,13 @@ def test_block_dispatch_matches_per_primitive_on_psiformer(helpers):
     lap_ref, grad_ref = forward_laplacian(log_psi_of_flat_r)(r_flat)
 
     os.environ['DEEPQMC_TPU_BLOCK_KERNEL_INTERPRET'] = '1'
+    if stack:
+        os.environ['DEEPQMC_TPU_GNN_STACK_BLOCK'] = '1'
     try:
         lap_k, grad_k = forward_laplacian(log_psi_of_flat_r)(r_flat)
     finally:
         del os.environ['DEEPQMC_TPU_BLOCK_KERNEL_INTERPRET']
+        os.environ.pop('DEEPQMC_TPU_GNN_STACK_BLOCK', None)
     np.testing.assert_allclose(
         np.asarray(grad_k), np.asarray(grad_ref), rtol=1e-9
     )

@@ -157,6 +157,7 @@ def test_direct_gradient_matches_tangent(loss_setup, helpers, with_spin):
         )
 
 
+@pytest.mark.heavy
 def test_forward_only_call_matches_value_and_grad(loss_setup, helpers):
     hamil, ansatz, params, phys_conf, weight = loss_setup
     loss_fn = create_loss_fn(

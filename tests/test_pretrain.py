@@ -85,6 +85,7 @@ def test_mo_normalization_consistency(helpers):
     assert s00 == pytest.approx(S[0, 0], rel=0.05)
 
 
+@pytest.mark.heavy
 def test_pretrain_h2_improves_orbitals(helpers):
     from deepqmc_tpu.presets import ansatz_preset
     from deepqmc_tpu.sampling import (

@@ -32,7 +32,14 @@ def main():
     p.add_argument('--decorr', type=int, default=10)
     p.add_argument('--block', type=int, default=5, help='steps per jitted block')
     p.add_argument('--optimizer', default='kfac', choices=['kfac', 'adam', 'none'])
+    p.add_argument(
+        '--platform',
+        default=None,
+        help="force a jax platform (e.g. 'cpu' to smoke-run off-TPU)",
+    )
     args = p.parse_args()
+    if args.platform:
+        jax.config.update('jax_platforms', args.platform)
 
     import deepqmc_tpu as dq
     from deepqmc_tpu.fit import fit_wf

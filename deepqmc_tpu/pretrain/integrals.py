@@ -290,7 +290,47 @@ class IntegralEngine:
             out[:, t, u, v] = val
         return out
 
-    def eri(self, chunk_size: int = 20000) -> np.ndarray:
+    @classmethod
+    def _schwarz_bounds(cls, entries) -> np.ndarray:
+        """Cauchy-Schwarz bound sqrt((e|e)) per primitive-pair entry.
+
+        (ab|cd) <= Q_ab Q_cd, so entries with a tiny Q cannot contribute:
+        tight same-shell primitives on different atoms carry an
+        exp(-mu |AB|^2) factor in their Hermite cube and screen out, which
+        is what makes large-molecule ERI assembly tractable.  Batched per
+        total-angular-momentum class (one Boys/Hermite table call per L).
+        """
+        qs = np.empty(len(entries))
+        by_L: dict[int, list[int]] = {}
+        for k, e in enumerate(entries):
+            by_L.setdefault(e[1], []).append(k)
+        for L, idxs in by_L.items():
+            coef = np.array([entries[k][2] for k in idxs])
+            p = np.array([entries[k][3] for k in idxs])
+            E = np.array([entries[k][5] for k in idxs])  # [m, L+1]^3
+            R = cls._r_tables(2 * L, p / 2.0, np.zeros((len(idxs), 3)))
+            sgn = (-1.0) ** (
+                np.add.outer(
+                    np.add.outer(np.arange(L + 1), np.arange(L + 1)),
+                    np.arange(L + 1),
+                )
+            )
+            Es = E * sgn
+            acc = np.zeros(len(idxs))
+            for t in range(L + 1):
+                for u in range(L + 1 - t):
+                    for v in range(L + 1 - t - u):
+                        window = R[
+                            :, t : t + L + 1, u : u + L + 1, v : v + L + 1
+                        ]
+                        acc += E[:, t, u, v] * np.einsum(
+                            'mTUV,mTUV->m', Es, window, optimize=True
+                        )
+            pref = 2 * np.pi**2.5 / (p * p * np.sqrt(2 * p)) * coef**2
+            qs[idxs] = np.sqrt(np.abs(pref * acc))
+        return qs
+
+    def eri(self, chunk_size: int = 20000, screen_tol: float = 1e-10) -> np.ndarray:
         """Full (ij|kl) tensor in chemists' notation (batched assembly)."""
         n = self.n_ao
         # enumerate AO pairs (i >= j) and their primitive-pair Hermite cubes
@@ -306,6 +346,10 @@ class IntegralEngine:
                     entries.append(
                         (pair_idx_of[(i, j)], L, pa.coef * pb.coef, p, P, cube)
                     )
+        if screen_tol:
+            q = self._schwarz_bounds(entries)
+            keep = q > screen_tol * max(q.max(), 1e-300)
+            entries = [e for e, k in zip(entries, keep) if k]
         # group primitive-pair entries by total bra angular momentum
         by_L: dict[int, dict[str, np.ndarray]] = {}
         for L in sorted({e[1] for e in entries}):

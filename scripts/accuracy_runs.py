@@ -91,6 +91,8 @@ CONFIGS = {
         'overrides': [
             'task=train_excited_psiformer',
             'hamil/mol=benzene',
+            'task.electronic_states=2',
+            'task.pretrain_kwargs.scf_kwargs.cas=[6,6]',  # benzene pi space
             'task.electron_batch_size=2048',
             'task.steps=6000',
             'task.pretrain_steps=2000',

@@ -124,3 +124,45 @@ def test_pretrain_h2_improves_orbitals(helpers):
         losses.append(float(np.asarray(per_sample_losses).mean()))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-10:]) < 0.3 * np.mean(losses[:5])
+
+
+def test_minimal_contracted_basis():
+    """Atomic-HF-contracted minimal basis: exact for the atom, STO-6G-class
+    for molecules, tiny AO counts (reference default is minimal STO-6G,
+    conf/task/train.yaml)."""
+    from deepqmc_tpu.pretrain.basis import (
+        even_tempered_shells,
+        minimal_contracted_shells,
+        occupied_shells_per_l,
+    )
+    from deepqmc_tpu.pretrain.scf import run_hf
+
+    assert occupied_shells_per_l(6) == {0: 2, 1: 1, 2: 0}  # C: 1s 2s | 2p
+    assert occupied_shells_per_l(21) == {0: 4, 1: 2, 2: 1}  # Sc: +3d
+
+    z = 6
+    big = [(0, s) for s in even_tempered_shells(z)]
+    small = [(0, s) for s in minimal_contracted_shells(z)]
+    n_ao = sum({0: 1, 1: 3, 2: 6}[s[1][0]] for s in small)
+    assert n_ao == 5  # 1s, 2s, 2p x3
+    center = np.zeros((1, 3))
+    charge = np.array([float(z)])
+    e_big = run_hf(center, charge, big, 3, 3).e_tot
+    e_small = run_hf(center, charge, small, 3, 3).e_tot
+    # the contraction spans the atomic occupied space near-exactly
+    assert abs(e_small - e_big) < 1e-4, (e_small, e_big)
+
+
+def test_eri_schwarz_screening_lossless():
+    """Screened vs unscreened ERIs agree to the screening tolerance."""
+    from deepqmc_tpu.pretrain.basis import build_basis
+    from deepqmc_tpu.pretrain.integrals import IntegralEngine
+    from deepqmc_tpu.molecule import Molecule
+
+    mol = Molecule.from_name('LiH')
+    eng = IntegralEngine(
+        np.asarray(mol.coords), build_basis(np.asarray(mol.charges), 'sto-6g')
+    )
+    eri_screened = eng.eri()
+    eri_full = eng.eri(screen_tol=0.0)
+    np.testing.assert_allclose(eri_screened, eri_full, atol=1e-9)

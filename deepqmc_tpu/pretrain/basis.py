@@ -157,8 +157,25 @@ def build_basis(charges, basis: str = 'even-tempered'):
             f'Using the built-in even-tempered basis in place of {basis!r}'
             ' (external basis-set libraries are not a dependency of this build).'
         )
+    zs = np.asarray(charges).astype(int)
+    if not minimal and name not in ('even-tempered', 'eventempered'):
+        # a foreign basis name mapped onto the big generator: guard against
+        # pathological AO counts (the in-house ERI assembly is O(nao^4))
+        n_comp = {0: 1, 1: 3, 2: 6}
+        n_ao = sum(
+            n_comp[l] for z in zs for l, _c, _z in even_tempered_shells(int(z))
+        )
+        if n_ao > 128:
+            log.warning(
+                f'The uncontracted even-tempered stand-in for {basis!r} has'
+                f' {n_ao} cartesian AOs for this system; falling back to the'
+                ' atomic-HF-contracted minimal basis to keep the in-house SCF'
+                " tractable (pass basis='even-tempered' explicitly to force"
+                ' the big basis).'
+            )
+            minimal = True
     shells = []
-    for atom_idx, z in enumerate(np.asarray(charges).astype(int)):
+    for atom_idx, z in enumerate(zs):
         element_shells = (
             minimal_contracted_shells(int(z))
             if minimal

@@ -166,3 +166,14 @@ def test_eri_schwarz_screening_lossless():
     eri_screened = eng.eri()
     eri_full = eng.eri(screen_tol=0.0)
     np.testing.assert_allclose(eri_screened, eri_full, atol=1e-9)
+
+
+def test_big_basis_fallback_for_large_systems():
+    """Foreign basis names on big systems fall back to the minimal set."""
+    from deepqmc_tpu.molecule import Molecule
+    from deepqmc_tpu.pretrain.basis import build_basis
+
+    charges = np.asarray(Molecule.from_name('benzene').charges)
+    shells = build_basis(charges, 'aug-cc-pVTZ')
+    n_ao = sum({0: 1, 1: 3, 2: 6}[s[0]] for _i, s in shells)
+    assert n_ao == 36  # 6 C x 5 + 6 H x 1, not the 282-AO big set

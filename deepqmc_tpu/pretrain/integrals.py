@@ -376,7 +376,10 @@ class IntegralEngine:
                     )
                 )
                 E2s = g2['E'] * sgn
-                rows = max(1, chunk_size // max(m2, 1))
+                # chunk so the R workspace stays ~chunk_size KILO-elements:
+                # rows must not degenerate to 1 for large L groups (the
+                # per-iteration numpy overhead would dominate)
+                rows = max(1, 1000 * chunk_size // max(m2 * (N + 1) ** 3, 1))
                 for start in range(0, m1, rows):
                     sl = slice(start, min(start + rows, m1))
                     c1, p1, P1, E1 = (

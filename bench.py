@@ -27,6 +27,11 @@ def main():
     p.add_argument('--smoke', action='store_true', help='tiny shapes, quick check')
     p.add_argument('--walkers', type=int, default=None)
     p.add_argument('--steps', type=int, default=None)
+    p.add_argument(
+        '--full-stats',
+        action='store_true',
+        help='also print per-block step times to stderr',
+    )
     p.add_argument('--mol', default='H2O')
     p.add_argument('--ansatz', default='psiformer')
     p.add_argument('--decorr', type=int, default=10)
@@ -60,7 +65,7 @@ def main():
     from deepqmc_tpu.wf import init_wf_params, instantiate_ansatz
 
     walkers = args.walkers or (64 if args.smoke else 2048)
-    n_steps = args.steps or (3 if args.smoke else 10)
+    n_steps = args.steps or (3 if args.smoke else 30)
     mol = 'H2' if args.smoke and args.mol == 'H2O' else args.mol
     preset_kwargs = (
         {'n_determinants': 2, 'embedding_dim': 32, 'n_interactions': 2, 'num_heads': 2}
@@ -107,12 +112,14 @@ def main():
     else:
         opt_factory = NoOptimizer
 
-    block = max(1, args.block)
+    block = max(1, min(args.block, n_steps))
     # skip two blocks before timing: the first compiles, the second typically
     # recompiles once more as output shardings replace the host-built carry
     warmup_steps = 2 * block
-    t_ref = None
-    n_counted = 0
+    # host wall time is noisy through the RPC tunnel and under CPU
+    # contention, so time MANY blocks and report the MEDIAN per-step time
+    # plus the spread — a single mean over 10 steps swings ~25% run to run
+    block_ends = [time.perf_counter()]
     for step, *_rest in fit_wf(
         jax.random.PRNGKey(3),
         hamil,
@@ -126,13 +133,24 @@ def main():
         [m.finalize(hamil, ansatz.apply) for m in default_observable_monitors()],
         block_size=block,
     ):
-        if step == warmup_steps - 1:
-            t_ref = time.perf_counter()
-        elif step >= warmup_steps:
-            n_counted += 1
-    step_time = (time.perf_counter() - t_ref) / max(n_counted, 1)
+        if (step + 1) % block == 0 or step == n_steps + warmup_steps - 1:
+            block_ends.append(time.perf_counter())
+    block_ms = 1e3 * np.diff(np.asarray(block_ends))
+    # drop compile/recompile blocks when enough timed blocks remain
+    if len(block_ms) > 2:
+        block_ms = block_ms[2:]
+    step_ms = block_ms / block
+    med_ms = float(np.median(step_ms))
+    lo, hi = (
+        (float(step_ms.min()), float(step_ms.max()))
+        if len(step_ms)
+        else (med_ms, med_ms)
+    )
+    spread = (hi - lo) / med_ms if med_ms else 0.0
+    if args.full_stats:
+        print(f'per-block step ms: {np.round(step_ms, 1).tolist()}', file=sys.stderr)
     n_chips = len(jax.devices())
-    value = walkers / step_time / n_chips
+    value = walkers / (med_ms / 1e3) / n_chips
     print(
         json.dumps(
             {
@@ -140,7 +158,9 @@ def main():
                 'value': round(value, 1),
                 'unit': f'walkers*opt_steps/s/chip ({mol} {args.ansatz}, '
                 f'{walkers} walkers, decorr {args.decorr}, {args.optimizer}, '
-                f'{n_chips} chip(s), step {step_time * 1e3:.0f} ms)',
+                f'{n_chips} chip(s), median step {med_ms:.0f} ms over '
+                f'{len(step_ms)} blocks x {block} steps, '
+                f'spread {100 * spread:.0f}% [{lo:.0f}-{hi:.0f} ms])',
                 'vs_baseline': round(value / BASELINE, 4),
             }
         )

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 VARIANTS = {
     'default': {},
+    'no_pallas': {'DEEPQMC_TPU_NO_PALLAS': '1'},
     'colform': {'DEEPQMC_TPU_ATTN_COLFORM': '1'},
     'colform_w4': {'DEEPQMC_TPU_ATTN_COLFORM': '1', 'ATTN_WB': 4},
     'block_colform_w1': {
@@ -58,6 +59,7 @@ FLAG_KEYS = [
     'DEEPQMC_TPU_ATTN_KRON',
     'DEEPQMC_TPU_BLOCK_KERNEL',
     'DEEPQMC_TPU_GNN_STACK_BLOCK',
+    'DEEPQMC_TPU_NO_PALLAS',
 ]
 
 

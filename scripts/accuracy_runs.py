@@ -57,11 +57,11 @@ CONFIGS = {
             'task=train_psiformer',
             'hamil/mol=H2O',
             'task.electron_batch_size=2048',
-            'task.steps=4000',
-            'task.pretrain_steps=500',
+            'task.steps=12000',
+            'task.pretrain_steps=1000',
             '+task.fit_block_size=10',
         ],
-        'eval_steps': 200,
+        'eval_steps': 500,
         'reference': -76.4389,
         'reference_source': 'exact NR energy (Klopper et al. 2001); '
         '1 mHa target per BASELINE.md',

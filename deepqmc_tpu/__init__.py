@@ -38,6 +38,8 @@ if not _os.environ.get('DEEPQMC_TPU_NO_COMPILE_CACHE'):
         ),
     )
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 10.0)
+if _os.environ.get('DEEPQMC_TPU_EXPLAIN_CACHE_MISSES'):
+    jax.config.update('jax_explain_cache_misses', True)
 
 maybe_init_multi_host()
 

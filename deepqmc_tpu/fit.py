@@ -33,7 +33,7 @@ from .observable import ObservableMonitor
 from .optimizer import NoOptimizer, Optimizer
 from .parallel import pexp_normalize_mean, rng_iterator
 from .types import Ansatz, KeyArray, Stats, TrainState
-from .utils import split_dict
+from .utils import sampling_precision_ctx, split_dict
 
 __all__ = ()
 
@@ -94,9 +94,10 @@ def fit_wf(  # noqa: C901
         rng_sample, rng_loss = jax.random.split(rng_step)
         data = {'energy_ewm': ewm_state.mean, 'std_ewm': std_ewm_state.mean}
         data_it = jax.tree_util.tree_map(lambda x: x[mol_idxs], data)
-        smpl_state, phys_conf, smpl_stats = sampler.sample(
-            rng_sample, smpl_state, params, mol_idxs
-        )
+        with sampling_precision_ctx():
+            smpl_state, phys_conf, smpl_stats = sampler.sample(
+                rng_sample, smpl_state, params, mol_idxs
+            )
         if 'log_weight' in smpl_state['elec']:
             # resampled samplers carry per-walker importance weights
             weight = pexp_normalize_mean(
@@ -109,7 +110,9 @@ def fit_wf(  # noqa: C901
         )
         if not is_evaluation:
             # parameters changed: refresh the sampler's cached psi values
-            smpl_state = sampler.update(smpl_state, params)
+            # (same precision as sampling, so acceptance ratios stay unbiased)
+            with sampling_precision_ctx():
+                smpl_state = sampler.update(smpl_state, params)
         # built-in energy & wave-function monitors, fused into the step
         psi = smpl_state['elec']['psi']
         stats = {

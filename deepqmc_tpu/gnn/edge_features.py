@@ -10,6 +10,11 @@ from ..utils import norm
 __all__ = ()
 
 
+def _log_damp(features: jax.Array, r: jax.Array) -> jax.Array:
+    """Rescale per-edge features by log(1+r)/r (tames the long-range tail)."""
+    return features * (jnp.log1p(r) / r)[..., None]
+
+
 class EdgeFeature(Protocol):
     """Maps difference vectors [..., 3] to feature vectors [..., len(self)]."""
 
@@ -19,23 +24,20 @@ class EdgeFeature(Protocol):
 
 
 class DifferenceEdgeFeature:
-    """The raw difference vector, optionally rescaled by log(1+r)/r."""
+    """The raw difference vector, optionally log-damped."""
 
     def __init__(self, *, log_rescale: bool = False):
         self.log_rescale = log_rescale
 
     def __call__(self, d: jax.Array) -> jax.Array:
-        if self.log_rescale:
-            r = norm(d, safe=True)
-            d = d * (jnp.log1p(r) / r)[..., None]
-        return d
+        return _log_damp(d, norm(d, safe=True)) if self.log_rescale else d
 
     def __len__(self) -> int:
         return 3
 
 
 class DistancePowerEdgeFeature:
-    """Powers of the edge length, with safe negative powers."""
+    """Powers of the edge length, with regularized negative powers."""
 
     def __init__(
         self,
@@ -44,22 +46,21 @@ class DistancePowerEdgeFeature:
         eps: Optional[float] = None,
         log_rescale: bool = False,
     ):
-        if any(p < 0 for p in powers):
-            assert eps is not None
+        if any(p < 0 for p in powers) and eps is None:
+            raise ValueError('negative powers need an eps regularizer')
         self.powers = jnp.asarray(powers)
         self.eps = eps or 0.0
         self.log_rescale = log_rescale
 
     def __call__(self, d: jax.Array) -> jax.Array:
         r = norm(d, safe=True)
-        feats = jnp.where(
+        rk = r[..., None]
+        powered = jnp.where(
             self.powers > 0,
-            r[..., None] ** self.powers,
-            1 / (r[..., None] ** (-self.powers) + self.eps),
+            rk**self.powers,
+            1 / (rk ** (-self.powers) + self.eps),
         )
-        if self.log_rescale:
-            feats = feats * (jnp.log1p(r) / r)[..., None]
-        return feats
+        return _log_damp(powered, r) if self.log_rescale else powered
 
     def __len__(self) -> int:
         return len(self.powers)
@@ -69,10 +70,11 @@ class GaussianEdgeFeature:
     """Distance expanded in a quadratically-spaced Gaussian basis."""
 
     def __init__(self, *, n_gaussian: int, radius: float, offset: bool):
-        delta = 1 / (2 * n_gaussian) if offset else 0
-        qs = jnp.linspace(delta, 1 - delta, n_gaussian)
-        self.mus = radius * qs**2
-        self.sigmas = (1 + radius * qs) / 7
+        pad = 1 / (2 * n_gaussian) if offset else 0
+        knots = jnp.linspace(pad, 1 - pad, n_gaussian)
+        # centers crowd towards r=0 where the wave function varies fastest
+        self.mus = radius * knots**2
+        self.sigmas = (1 + radius * knots) / 7
 
     def __call__(self, d: jax.Array) -> jax.Array:
         r = norm(d, safe=True)

@@ -19,16 +19,16 @@ def compute_local_energy(
     params: Params,
     phys_conf: PhysicalConfiguration,
 ) -> tuple[Energy, Stats]:
-    """Triple-vmap (molecule x state x walker) of the local energy."""
-    rng = jax.random.split(rng, phys_conf.batch_shape)
-    local_energy, hamil_stats = jax.vmap(  # molecule batch
-        jax.vmap(  # electronic states
-            jax.vmap(hamil.local_energy(wf), (0, None, 0))  # electron batch
-        ),
-        (0, None, 0),
-    )(rng, params, phys_conf)
-    stats = jax.tree_util.tree_map(lambda x: x.mean(axis=-1), hamil_stats)
-    return local_energy, stats
+    """Local energies over the [molecule, state, walker] batch grid."""
+    eloc_of = hamil.local_energy(wf)
+    over_walkers = jax.vmap(eloc_of, (0, None, 0))
+    over_states = jax.vmap(over_walkers)
+    over_molecules = jax.vmap(over_states, (0, None, 0))
+    keys = jax.random.split(rng, phys_conf.batch_shape)
+    local_energy, hamil_stats = over_molecules(keys, params, phys_conf)
+    return local_energy, jax.tree_util.tree_map(
+        lambda x: x.mean(axis=-1), hamil_stats
+    )
 
 
 def compute_mean_energy(local_energy: Energy, weight: Weight) -> tuple[Energy, Stats]:
@@ -42,6 +42,6 @@ def compute_mean_energy_tangent(
     gradient_mask: jax.Array,
 ) -> jax.Array:
     """Control-variate VMC gradient: E[(E_loc - E_mean) * dlogpsi * w]."""
-    per_state_mean = all_device_mean(local_energy * weight, axis=-1, keepdims=True)
-    tangent = (local_energy - per_state_mean) * log_psi_tangent * weight
-    return masked_mean(tangent, gradient_mask)
+    baseline = all_device_mean(local_energy * weight, axis=-1, keepdims=True)
+    score_times_dev = (local_energy - baseline) * log_psi_tangent * weight
+    return masked_mean(score_times_dev, gradient_mask)

@@ -23,39 +23,36 @@ def compute_wave_function_values(
 ) -> tuple[Psi, Stats]:
     """Evaluate every state's WF on samples drawn from every state.
 
-    Output shape ``[mol, state_wf, state_sample, walker]`` (4-level vmap,
-    reference overlap.py:37-47).
+    Output shape ``[mol, state_wf, state_sample, walker]`` (cross-state
+    evaluation grid, reference overlap.py:37-47), built from named vmap
+    stages so each batching level reads off the code.
     """
-    psi = jax.vmap(  # molecule batch
-        jax.vmap(  # wf states
-            jax.vmap(  # sample states
-                jax.vmap(ansatz.apply, (None, 0)),  # electron batch
-                (None, 0),
-            ),
-            (0, None),
-        ),
-        (None, 0),
-    )(params, phys_conf)
-    return psi, {}
+    over_walkers = jax.vmap(ansatz.apply, (None, 0))
+    over_sample_states = jax.vmap(over_walkers, (None, 0))
+    over_wf_states = jax.vmap(over_sample_states, (0, None))
+    over_molecules = jax.vmap(over_wf_states, (None, 0))
+    return over_molecules(params, phys_conf), {}
 
 
-def compute_single_sample_psi_ratios(psi: Psi, mean_log_psi: jax.Array) -> jax.Array:
-    """R[i, j] = Psi_i / Psi_j at one sample, stabilized by mean-log shifts."""
-    shifted = psi.log - mean_log_psi[:, None]
-    log_ratio = shifted - jnp.diagonal(shifted)[None, :]
-    sign_ratio = psi.sign * jnp.diagonal(psi.sign)[None, :]
-    return sign_ratio * jnp.exp(log_ratio)
+def _diag_states(x: jax.Array) -> jax.Array:
+    """x[mol, j, j, walker] from x[mol, i, j, walker]."""
+    return jnp.diagonal(x, axis1=1, axis2=2).swapaxes(-1, -2)
 
 
 def compute_psi_ratio(
     ansatz: Ansatz, params: Params, phys_conf: PhysicalConfiguration
 ) -> tuple[jax.Array, Stats]:
+    """R[mol, i, j, walker] = Psi_i / Psi_j on walkers drawn from Psi_j^2.
+
+    The log ratio is stabilized by shifting each wf state's log values by its
+    own grid mean before exponentiating (one whole-array broadcast; no
+    per-sample helper).
+    """
     psi, stats = compute_wave_function_values(ansatz, params, phys_conf)
-    mean_log_psi = jnp.mean(psi.log, axis=(-1, -2))
-    psi_ratio = jax.vmap(  # molecule batch
-        jax.vmap(compute_single_sample_psi_ratios, (-1, None), -1)  # electron batch
-    )(psi, mean_log_psi)
-    return psi_ratio, stats
+    shifted = psi.log - psi.log.mean(axis=(-1, -2))[:, :, None, None]
+    log_ratio = shifted - _diag_states(shifted)[:, None]
+    sign_ratio = psi.sign * _diag_states(psi.sign)[:, None]
+    return sign_ratio * jnp.exp(log_ratio), stats
 
 
 def symmetrize_overlap_with_clipped_geometric_mean(x: jax.Array) -> jax.Array:
@@ -63,13 +60,17 @@ def symmetrize_overlap_with_clipped_geometric_mean(x: jax.Array) -> jax.Array:
     return jnp.sign(x) * jnp.sqrt(jnp.clip(x * jnp.transpose(x), 0.0))
 
 
+def _upper_pairs_sum(per_mol_matrix: jax.Array) -> jax.Array:
+    """Sum over distinct state pairs (i < j), then mean over molecules."""
+    return jax.vmap(triu_flat)(per_mol_matrix).sum(axis=-1).mean()
+
+
 def compute_mean_overlap(
     psi_ratio: jax.Array, weight: Weight
 ) -> tuple[jax.Array, Stats]:
-    non_symm = all_device_mean(weight[:, None, :, :] * psi_ratio, axis=-1)
-    symm = jax.vmap(symmetrize_overlap_with_clipped_geometric_mean)(non_symm)
-    overlap_loss = jax.vmap(triu_flat)(symm**2).sum(axis=-1).mean()
-    return overlap_loss, {'overlap/pairwise/mean': symm}
+    one_sided = all_device_mean(weight[:, None, :, :] * psi_ratio, axis=-1)
+    symm = jax.vmap(symmetrize_overlap_with_clipped_geometric_mean)(one_sided)
+    return _upper_pairs_sum(symm**2), {'overlap/pairwise/mean': symm}
 
 
 class OverlapGradientScaleFactory(Protocol):
@@ -115,12 +116,18 @@ def compute_mean_overlap_tangent(
 ) -> jax.Array:
     """One-sided tangent of sum_ij S_ij^2 (no i<->j permuted term; states are
     ordered via ``data['ordering']`` instead, reference overlap.py:184-225)."""
-    weight = weight[:, None, :, :]
-    log_psi_tangent = log_psi_tangent[:, None, :, :]
-    mean_psi_ratio = all_device_mean(weight * psi_ratio, axis=-1)
-    tangent = (psi_ratio - mean_psi_ratio[..., None]) * weight * log_psi_tangent
-    tangent = masked_mean(tangent, ratio_gradient_mask, axis=-1)
-    tangent = 2 * tangent * mean_psi_ratio.swapaxes(-1, -2)
-    tangent = tangent * scale_factory(data)
-    tangent = jax.vmap(permute_matrix)(tangent, data['ordering'])
-    return jax.vmap(triu_flat)(tangent).sum(axis=-1).mean()
+    w = weight[:, None, :, :]
+    dlog = log_psi_tangent[:, None, :, :]
+    S_one_sided = all_device_mean(w * psi_ratio, axis=-1)
+    # d/dtheta of the one-sided estimate: covariance of the ratio with the
+    # score, clipped walkers masked out of the mean
+    dS = masked_mean(
+        (psi_ratio - S_one_sided[..., None]) * w * dlog,
+        ratio_gradient_mask,
+        axis=-1,
+    )
+    # chain rule for S_ij^2 through the symmetrized product, per-pair scaling,
+    # and the EWM-energy state ordering
+    per_pair = 2 * dS * S_one_sided.swapaxes(-1, -2) * scale_factory(data)
+    ordered = jax.vmap(permute_matrix)(per_pair, data['ordering'])
+    return _upper_pairs_sum(ordered)

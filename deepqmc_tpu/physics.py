@@ -45,29 +45,30 @@ class Potential(Protocol):
     ) -> Energy: ...
 
 
+def _cross_displacements(senders: jax.Array, receivers: jax.Array) -> jax.Array:
+    """[..., i, j, 3] displacement grid between two particle sets."""
+    return senders[..., :, None, :] - receivers[..., None, :, :]
+
+
 def pairwise_distance(coords1: jax.Array, coords2: jax.Array) -> jax.Array:
-    return jnp.linalg.norm(coords1[..., :, None, :] - coords2[..., None, :, :], axis=-1)
+    return jnp.linalg.norm(_cross_displacements(coords1, coords2), axis=-1)
 
 
 def pairwise_diffs(coords1: jax.Array, coords2: jax.Array) -> jax.Array:
     """Difference vectors with the squared norm appended as a 4th channel."""
-    diffs = coords1[..., :, None, :] - coords2[..., None, :, :]
-    return jnp.concatenate([diffs, (diffs**2).sum(axis=-1, keepdims=True)], axis=-1)
+    d = _cross_displacements(coords1, coords2)
+    return jnp.concatenate([d, (d**2).sum(axis=-1, keepdims=True)], axis=-1)
 
 
 def pairwise_self_distance(coords: jax.Array, full: bool = False) -> jax.Array:
+    """Distances between distinct particles of one set, flat i<j or full matrix."""
     i, j = jnp.triu_indices(coords.shape[-2], k=1)
-    diffs = coords[..., :, None, :] - coords[..., None, :, :]
-    dists = norm(diffs[..., i, j, :], safe=True, axis=-1)
-    if full:
-        dists = (
-            jnp.zeros(diffs.shape[:-1])
-            .at[..., i, j]
-            .set(dists)
-            .at[..., j, i]
-            .set(dists)
-        )
-    return dists
+    d = _cross_displacements(coords, coords)
+    flat = norm(d[..., i, j, :], safe=True, axis=-1)
+    if not full:
+        return flat
+    square = jnp.zeros(d.shape[:-1])
+    return square.at[..., i, j].set(flat).at[..., j, i].set(flat)
 
 
 def nuclear_energy(phys_conf: PhysicalConfiguration, ns_valence: jax.Array) -> Energy:
@@ -180,12 +181,13 @@ def coulomb_force(
     remove_self_int: bool = False,
 ) -> jax.Array:
     """Coulomb force on particles ``r1`` due to particles ``r2``."""
-    dists = r1[:, None] - r2[None]
-    force = (
+    d = r1[:, None] - r2[None]
+    pair_force = (
         (c1[:, None] * c2[None])[..., None]
-        * dists
-        / jnp.linalg.norm(dists, axis=-1, keepdims=True) ** 3
+        * d
+        / jnp.linalg.norm(d, axis=-1, keepdims=True) ** 3
     )
     if remove_self_int:
-        force = force.at[jnp.arange(len(r1)), jnp.arange(len(r2))].set(0)
-    return force.sum(-2)
+        diag = (jnp.arange(len(r1)), jnp.arange(len(r2)))
+        pair_force = pair_force.at[diag].set(0)
+    return pair_force.sum(-2)

@@ -32,21 +32,20 @@ class PretrainTarget:
     def __call__(self, confs, conf_coeffs, phys_conf):
         """confs/conf_coeffs: [n_mols, n_det, ...] (selected per sample via
         phys_conf.mol_idx); returns [n_det, n_elec, n_orb]."""
-        mol_idx = phys_conf.mol_idx
-        diffs = pairwise_diffs(phys_conf.r, phys_conf.R)
-        n_el = diffs.shape[-3]
-        aos = self.basis(diffs)
-        mos = jnp.matmul(aos, self.mo_coeffs[mol_idx])
-        # [n_det, n_elec, n_orb]
-        mos = mos[:, confs[mol_idx]].swapaxes(0, 1)
+        i = phys_conf.mol_idx
+        aos = self.basis(pairwise_diffs(phys_conf.r, phys_conf.R))
+        mos = jnp.matmul(aos, self.mo_coeffs[i])
+        dets = mos[:, confs[i]].swapaxes(0, 1)  # [n_det, n_elec, n_orb]
+        factors = _fold_ci_coefficients(conf_coeffs[i], dets.shape[1])
         if self.n_determinants:
-            mos = mos[: self.n_determinants]
-        # fold the CI coefficient of each determinant into its first orbital
-        cc = conf_coeffs[mol_idx]
-        factors = (jnp.abs(cc) ** (1 / n_el))[:, None] * (
-            one_hot(0, n_el)[None, :] * jnp.sign(cc)[:, None]
-            + (1 - one_hot(0, n_el)[None, :])
-        )
-        if self.n_determinants:
+            dets = dets[: self.n_determinants]
             factors = factors[: self.n_determinants]
-        return mos * factors[:, None, :]
+        return dets * factors[:, None, :]
+
+
+def _fold_ci_coefficients(cc, n_el):
+    """Spread each determinant's CI magnitude evenly over its orbitals and
+    put the CI sign on the first orbital, so det(c^(1/n) * orbitals) = c * det."""
+    on_first = one_hot(0, n_el)[None, :]
+    signed_first = on_first * jnp.sign(cc)[:, None] + (1 - on_first)
+    return (jnp.abs(cc) ** (1 / n_el))[:, None] * signed_first

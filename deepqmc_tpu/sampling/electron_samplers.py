@@ -95,39 +95,22 @@ class MetropolisSampler:
     def _acc_log_prob(self, state, prop) -> jax.Array:
         return 2 * (prop['psi'].log - state['psi'].log)
 
-    def sample(
-        self, rng: KeyArray, state: SamplerState, params: Params, R: jax.Array
-    ) -> tuple[SamplerState, PhysicalConfiguration, Stats]:
-        rng_prop, rng_acc = jax.random.split(rng)
-        prop = {
-            'r': self._proposal(state, rng_prop),
-            'age': jnp.zeros_like(state['age']),
-            **{k: v for k, v in state.items() if k not in self.WALKER_STATE},
-        }
-        prop = self._update(prop, params, R)
-        log_prob = self._acc_log_prob(state, prop)
-        accepted = log_prob > jnp.log(jax.random.uniform(rng_acc, log_prob.shape))
-        if self.max_age:
-            accepted = accepted | (state['age'] >= self.max_age)
-        acceptance = accepted.mean(dtype=state['r'].dtype)
-        if self.target_acceptance:
-            prop['tau'] = prop['tau'] * (
-                jnp.maximum(acceptance, 0.05) / self.target_acceptance
-            )
-        state = {**state, 'age': state['age'] + 1}
-        (prop_walkers, other), (state_walkers, _) = (
-            split_dict(d, lambda k: k in self.WALKER_STATE) for d in (prop, state)
+    def _select_walkers(self, accepted, candidate, state):
+        """Per-walker merge of accepted candidates into the walker state;
+        non-walker entries (tau, ...) are taken from the candidate."""
+        (cand_walkers, rest), (old_walkers, _) = (
+            split_dict(d, lambda k: k in self.WALKER_STATE)
+            for d in (candidate, state)
         )
-        state = {
-            **jax.tree_util.tree_map(
-                lambda xp, x: jax.vmap(jnp.where)(accepted, xp, x),
-                prop_walkers,
-                state_walkers,
-            ),
-            **other,
-        }
-        stats = {
-            'sampling/acceptance': acceptance,
+        merged = jax.tree_util.tree_map(
+            lambda new, old: jax.vmap(jnp.where)(accepted, new, old),
+            cand_walkers,
+            old_walkers,
+        )
+        return {**merged, **rest}
+
+    def _stats(self, state) -> Stats:
+        return {
             'sampling/tau': state['tau'],
             'sampling/age/mean': jnp.mean(state['age']),
             'sampling/age/max': jnp.max(state['age']),
@@ -135,6 +118,34 @@ class MetropolisSampler:
             'sampling/log_psi/std': jnp.std(state['psi'].log),
             'sampling/dists/mean': jnp.mean(pairwise_self_distance(state['r'])),
         }
+
+    def sample(
+        self, rng: KeyArray, state: SamplerState, params: Params, R: jax.Array
+    ) -> tuple[SamplerState, PhysicalConfiguration, Stats]:
+        rng_prop, rng_acc = jax.random.split(rng)
+        candidate = self._update(
+            {
+                'r': self._proposal(state, rng_prop),
+                'age': jnp.zeros_like(state['age']),
+                **{k: v for k, v in state.items() if k not in self.WALKER_STATE},
+            },
+            params,
+            R,
+        )
+        log_prob = self._acc_log_prob(state, candidate)
+        accepted = log_prob > jnp.log(jax.random.uniform(rng_acc, log_prob.shape))
+        if self.max_age:
+            # force stuck walkers to move so no region is frozen forever
+            accepted = accepted | (state['age'] >= self.max_age)
+        acceptance = accepted.mean(dtype=state['r'].dtype)
+        if self.target_acceptance:
+            candidate['tau'] = candidate['tau'] * (
+                jnp.maximum(acceptance, 0.05) / self.target_acceptance
+            )
+        state = self._select_walkers(
+            accepted, candidate, {**state, 'age': state['age'] + 1}
+        )
+        stats = {'sampling/acceptance': acceptance, **self._stats(state)}
         return state, self.phys_conf(R, state['r']), stats
 
 

@@ -45,37 +45,41 @@ def combine_samplers(samplers, hamil: MolecularHamiltonian, wf) -> object:
     return chain(*samplers[:-1], samplers[-1](hamil=hamil, wf=wf))
 
 
+def _unit(v, eps=None):
+    norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    return v / (norm if eps is None else jnp.clip(norm, eps, None))
+
+
 def diffs_to_nearest_nuc(r: jax.Array, coords: jax.Array):
-    z = pairwise_diffs(r, coords)
-    idx = jnp.argmin(z[..., -1], axis=-1)
-    return z[jnp.arange(len(r)), idx], idx
+    """Displacement (+squared distance) from each electron to its closest
+    nucleus, and that nucleus' index."""
+    disp = pairwise_diffs(r, coords)
+    nearest = jnp.argmin(disp[..., -1], axis=-1)
+    return disp[jnp.arange(len(r)), nearest], nearest
 
 
-def crossover_parameter(z, f, charge):
-    z, z2 = z[..., :3], z[..., 3]
-    eps = jnp.finfo(f.dtype).eps
-    z_unit = z / jnp.linalg.norm(z, axis=-1, keepdims=True)
-    f_unit = f / jnp.clip(jnp.linalg.norm(f, axis=-1, keepdims=True), eps, None)
-    Z2z2 = charge**2 * z2
-    return (1 + jnp.sum(f_unit * z_unit, axis=-1)) / 2 + Z2z2 / (10 * (4 + Z2z2))
+def crossover_parameter(disp, force, charge):
+    """Smart-MC crossover weight a(r): ~1 along the force direction far from
+    a nucleus, falling towards the nucleus (Umrigar regularization)."""
+    toward_nuc, dist2 = disp[..., :3], disp[..., 3]
+    eps = jnp.finfo(force.dtype).eps
+    alignment = jnp.sum(_unit(force, eps) * _unit(toward_nuc), axis=-1)
+    zeta = charge**2 * dist2
+    return (1 + alignment) / 2 + zeta / (10 * (4 + zeta))
 
 
 def clean_force(force, phys_conf: PhysicalConfiguration, mol: Molecule, *, tau):
-    """Regularize the quantum force: crossover damping near nuclei plus a
-    norm cutoff, keeping MALA proposals stable (reference
-    sampling_utils.py:79-101)."""
-    z, idx = jax.vmap(diffs_to_nearest_nuc)(phys_conf.r, phys_conf.R)
-    a = crossover_parameter(z, force, mol.charges[idx])
+    """Regularize the quantum force for MALA proposals (reference
+    sampling_utils.py:79-101): crossover damping of large forces, then a cap
+    so one drift step never overshoots the nearest nucleus."""
+    disp, nearest = jax.vmap(diffs_to_nearest_nuc)(phys_conf.r, phys_conf.R)
+    a = crossover_parameter(disp, force, mol.charges[nearest])
     av2tau = a * jnp.sum(force**2, axis=-1) * tau
-    factor = 2 / (jnp.sqrt(1 + 2 * av2tau) + 1)
-    force = factor[..., None] * force
+    damped = (2 / (jnp.sqrt(1 + 2 * av2tau) + 1))[..., None] * force
     eps = jnp.finfo(phys_conf.r.dtype).eps
-    norm_factor = jnp.minimum(
-        1.0,
-        jnp.sqrt(z[..., -1])
-        / (tau * jnp.clip(jnp.linalg.norm(force, axis=-1), eps, None)),
-    )
-    return force * norm_factor[..., None]
+    drift_len = tau * jnp.clip(jnp.linalg.norm(damped, axis=-1), eps, None)
+    cap = jnp.minimum(1.0, jnp.sqrt(disp[..., -1]) / drift_len)
+    return damped * cap[..., None]
 
 
 def equilibrate(
@@ -95,20 +99,29 @@ def equilibrate(
 
     Yields ``(step, state, mol_idxs, stats)``; one jitted sampling step.
     """
-    sample_wf = jax.jit(sampler.sample)
+    from ..utils import sampling_precision_ctx
 
-    buffer_size = block_size * n_blocks
-    buffer: list[float] = []
+    def _sample(*args):
+        with sampling_precision_ctx():
+            return sampler.sample(*args)
+
+    sample_wf = jax.jit(_sample)
+
+    def stabilized(series: list[float]) -> bool:
+        # equilibrated once the oldest and newest block of the criterion
+        # series agree to within either block's own scatter
+        head, tail = series[:block_size], series[-block_size:]
+        return abs(mean(head) - mean(tail)) < min(stdev(head), stdev(tail))
+
+    window = block_size * n_blocks
+    series: list[float] = []
     for step, rng_step in zip(steps, rng_iterator(rng)):
         mol_idxs = molecule_idx_sampler.sample()
         state, phys_conf, stats = sample_wf(rng_step, state, params, mol_idxs)
         yield step, state, mol_idxs, stats
         if allow_early_stopping:
-            buffer = [*buffer[-buffer_size + 1 :], criterion(phys_conf).item()]
-            if len(buffer) < buffer_size:
-                continue
-            b1, b2 = buffer[:block_size], buffer[-block_size:]
-            if abs(mean(b1) - mean(b2)) < min(stdev(b1), stdev(b2)):
+            series = [*series[-window + 1 :], criterion(phys_conf).item()]
+            if len(series) == window and stabilized(series):
                 break
 
 

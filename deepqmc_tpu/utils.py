@@ -8,7 +8,9 @@ upper-triangular matrix (utils.py:29-35), which would materialize an
 ``n_walkers x n_walkers`` array in HBM.
 """
 
+import os
 from collections.abc import Sequence
+from contextlib import nullcontext
 from typing import Optional, TypeVar, Union
 
 import jax
@@ -20,6 +22,24 @@ from .types import Stats
 __all__ = ()
 
 T = TypeVar('T')
+
+
+def sampling_precision_ctx():
+    """Matmul-precision context for pure-forward MCMC sampling.
+
+    The local-energy path must stay at 'highest' (true f32: the forward
+    Laplacian amplifies rounding into the kinetic energy), but the
+    Metropolis/Langevin forwards only feed log|psi| differences into an
+    accept/reject, where the 3-pass-bf16 'high' mode's ~1e-6 relative error
+    is far below the O(0.1-1) log-ratio scale.  'high' roughly halves the
+    MXU time of the decorrelation sweeps on TPU.  Override with
+    DEEPQMC_TPU_SAMPLING_PRECISION=(highest|high|default); CPU ignores
+    matmul precision entirely, so golden tests are unaffected.
+    """
+    label = os.environ.get('DEEPQMC_TPU_SAMPLING_PRECISION', 'high')
+    if label == 'default':
+        return nullcontext()
+    return jax.default_matmul_precision(label)
 
 
 def flatten(x: jax.Array, start_axis: int = 0) -> jax.Array:

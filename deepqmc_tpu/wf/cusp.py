@@ -13,14 +13,16 @@ class DeepQMCCusp:
     """scale / (alpha * (1 + alpha * r)) summed over pairs, negated."""
 
     def __call__(self, scale, alpha, dist):
-        return -(scale / (alpha * (1 + alpha * dist))).sum()
+        pair_terms = scale / (alpha * (1 + alpha * dist))
+        return -pair_terms.sum()
 
 
 class PsiformerCusp:
     """scale * alpha^2 / (alpha + r) summed over pairs, negated."""
 
     def __call__(self, scale, alpha, dist):
-        return -((scale * alpha**2) / (alpha + dist)).sum()
+        pair_terms = (scale * alpha**2) / (alpha + dist)
+        return -pair_terms.sum()
 
 
 class CuspAsymptotic(nn.Module):
@@ -32,9 +34,12 @@ class CuspAsymptotic(nn.Module):
         self.cusp_function = cusp_function
 
     def get_alpha(self, value, label):
-        if self.trainable_alpha:
-            return nn.get_param(f'{label}_alpha', (), nn.constant_init(value))
-        return jnp.asarray(value, dtype=float)
+        """The cusp length scale: a fixed constant or a learned scalar."""
+        return (
+            nn.get_param(f'{label}_alpha', (), nn.constant_init(value))
+            if self.trainable_alpha
+            else jnp.asarray(value, dtype=float)
+        )
 
 
 class ElectronicCuspAsymptotic(CuspAsymptotic):
@@ -49,16 +54,18 @@ class ElectronicCuspAsymptotic(CuspAsymptotic):
         self.initial_alpha = alpha
 
     def __call__(self, same_dists, anti_dists):
-        cusp = jnp.array(0.0)
-        if same_dists.size > 0:
-            cusp += self.cusp_function(
-                self.same_scale, self.get_alpha(self.initial_alpha, 'same'), same_dists
-            )
-        if anti_dists.size > 0:
-            cusp += self.cusp_function(
-                self.anti_scale, self.get_alpha(self.initial_alpha, 'anti'), anti_dists
-            )
-        return cusp
+        # one term per spin-pair channel; empty channels (e.g. a single
+        # electron of one spin) contribute nothing and create no parameter
+        channels = (
+            ('same', self.same_scale, same_dists),
+            ('anti', self.anti_scale, anti_dists),
+        )
+        total = jnp.array(0.0)
+        for label, scale, dists in channels:
+            if dists.size:
+                alpha = self.get_alpha(self.initial_alpha, label)
+                total += self.cusp_function(scale, alpha, dists)
+        return total
 
 
 class NuclearCuspAsymptotic(CuspAsymptotic):

@@ -1,0 +1,121 @@
+"""Short LiH convergence A/B for optimizer/precision knobs on real hardware.
+
+Two knobs the framework defaults differ from the reference in, each of which
+needs measured (not asserted) evidence:
+
+- KFAC ``inverse_update_period`` (default 5, reference recomputes every
+  step): does amortizing the Cholesky inverses change convergence?
+- ``DEEPQMC_TPU_SAMPLING_PRECISION`` (default 'high' 3-pass bf16 for the
+  pure-forward MCMC sweeps; local energies stay 'highest'): does it bias
+  the sampled distribution?
+
+Runs the CLI path on LiH (progression config 2) for a fixed step budget per
+variant and reports the final EWM energy +/- sampling error of an
+evaluation phase.  Results land in docs/evidence/ab_lih_convergence.jsonl.
+
+Usage: python scripts/ab_lih_convergence.py [--steps 1500] [--variants a,b]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VARIANTS = {
+    'baseline': {'env': {'DEEPQMC_TPU_SAMPLING_PRECISION': 'highest'}, 'inv_period': 1},
+    'inv5': {'env': {'DEEPQMC_TPU_SAMPLING_PRECISION': 'highest'}, 'inv_period': 5},
+    'inv5_samphigh': {
+        'env': {'DEEPQMC_TPU_SAMPLING_PRECISION': 'high'},
+        'inv_period': 5,
+    },
+}
+
+REFERENCE = -8.07000  # reference doc/tutorial.rst:153
+
+
+def run(cmd, env_extra, timeout):
+    env = dict(os.environ, **env_extra)
+    print('+', ' '.join(cmd), env_extra, flush=True)
+    proc = subprocess.run(cmd, env=env, timeout=timeout)
+    assert proc.returncode == 0, f'rc={proc.returncode}'
+
+
+def final_energy(workdir):
+    import h5py
+    import numpy as np
+
+    with h5py.File(Path(workdir) / 'evaluation' / 'result.h5', 'r') as f:
+        e_loc = np.asarray(f['local_energy/samples'])
+    samples = e_loc.reshape(len(e_loc), -1)
+    step_means = samples.mean(axis=1)
+    return float(samples.mean()), float(step_means.std() / len(step_means) ** 0.5)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--steps', type=int, default=1500)
+    p.add_argument('--eval-steps', type=int, default=200)
+    p.add_argument('--pretrain-steps', type=int, default=500)
+    p.add_argument('--variants', default=None)
+    p.add_argument('--workdir', default='runs/ab_lih')
+    args = p.parse_args()
+    names = args.variants.split(',') if args.variants else list(VARIANTS)
+
+    out = Path('docs/evidence/ab_lih_convergence.jsonl')
+    out.parent.mkdir(parents=True, exist_ok=True)
+    for name in names:
+        spec = VARIANTS[name]
+        wd = Path(args.workdir) / name
+        t0 = time.time()
+        run(
+            [
+                sys.executable,
+                '-m',
+                'deepqmc_tpu',
+                'hamil/mol=LiH',
+                'task.electron_batch_size=1024',
+                f'task.steps={args.steps}',
+                f'task.pretrain_steps={args.pretrain_steps}',
+                '+task.fit_block_size=10',
+                f'task.opt.kfac.inverse_update_period={spec["inv_period"]}',
+                f'--workdir={wd}',
+            ],
+            spec['env'],
+            timeout=7200,
+        )
+        train_s = time.time() - t0
+        run(
+            [
+                sys.executable,
+                '-m',
+                'deepqmc_tpu',
+                'task=evaluate',
+                f'task.restdir={wd}/training',
+                f'+task.steps={args.eval_steps}',
+                '+task.fit_block_size=10',
+                f'--workdir={wd}_eval',
+            ],
+            spec['env'],
+            timeout=3600,
+        )
+        energy, err = final_energy(f'{wd}_eval')
+        row = {
+            'variant': name,
+            'energy': energy,
+            'err': err,
+            'dev_mha': (energy - REFERENCE) * 1e3,
+            'steps': args.steps,
+            'train_seconds': round(train_s),
+        }
+        with open(out, 'a') as f:
+            f.write(json.dumps(row) + '\n')
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -101,9 +101,13 @@ def main():
         timed('eloc_fwdlap', eloc, rngs, params0, flat_conf)
 
     if run('sample'):
-        sample = jax.jit(
-            lambda r, s, p: sampler.sample(r, s, p, mol_idxs)[0]['elec']['r']
-        )
+        from deepqmc_tpu.utils import sampling_precision_ctx
+
+        def _sample(r, s, p):
+            with sampling_precision_ctx():
+                return sampler.sample(r, s, p, mol_idxs)[0]['elec']['r']
+
+        sample = jax.jit(_sample)
         timed(f'sample_decorr{args.decorr}', sample, jax.random.PRNGKey(5),
               smpl_state, params)
 

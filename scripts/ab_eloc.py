@@ -25,6 +25,13 @@ VARIANTS = {
     'no_pallas': {'DEEPQMC_TPU_NO_PALLAS': '1'},
     'colform': {'DEEPQMC_TPU_ATTN_COLFORM': '1'},
     'colform_w4': {'DEEPQMC_TPU_ATTN_COLFORM': '1', 'ATTN_WB': 4},
+    'block_loop_w1': {'DEEPQMC_TPU_BLOCK_KERNEL': '1', 'BLOCK_WB': 1},
+    'block_loop_w4': {'DEEPQMC_TPU_BLOCK_KERNEL': '1', 'BLOCK_WB': 4},
+    'stack_loop_w1': {
+        'DEEPQMC_TPU_BLOCK_KERNEL': '1',
+        'DEEPQMC_TPU_GNN_STACK_BLOCK': '1',
+        'BLOCK_WB': 1,
+    },
     'block_colform_w1': {
         'DEEPQMC_TPU_ATTN_COLFORM': '1',
         'DEEPQMC_TPU_BLOCK_KERNEL': '1',
@@ -164,8 +171,9 @@ def main():
                 flush=True,
             )
         except Exception as e:  # noqa: BLE001 - sweep survives one bad variant
+            limit = int(os.environ.get('AB_ELOC_ERROR_CHARS', '300'))
             print(
-                json.dumps({'variant': name, 'error': repr(e)[:300]}),
+                json.dumps({'variant': name, 'error': repr(e)[:limit]}),
                 flush=True,
             )
 

@@ -69,35 +69,38 @@ CONFIGS = {
     },
     'sco': {
         'description': 'ScO, PsiFormer, 1024 walkers, ccECP (progression '
-        'config 4; packaged ECP tables)',
+        'config 4; packaged ECP tables; Sc table PROVISIONAL, see '
+        'ecp/tables/README.md)',
         'overrides': [
             'task=train_psiformer',
             'hamil/mol=ScO',
             "+hamil.ecp_type=ccECP",
             'task.electron_batch_size=1024',
-            'task.steps=4000',
+            'task.steps=2500',
             'task.pretrain_steps=1000',
             '+task.fit_block_size=10',
         ],
-        'eval_steps': 200,
+        'eval_steps': 300,
         'reference': -46.654,
         'reference_source': 'ccECP AE-correlated estimate (Annaberdiyev et '
         'al. 2018, valence-only)',
         'tol_mha': 30.0,
     },
     'benzene_excited': {
-        'description': 'benzene, 2-state excited PsiFormer, 2048 walkers '
-        '(progression config 5 stretch)',
+        'description': 'benzene, 2-state excited PsiFormer, 1024 walkers '
+        '(progression config 5 stretch; short run - gap direction, not '
+        'converged absolute energies)',
         'overrides': [
             'task=train_excited_psiformer',
             'hamil/mol=benzene',
             'task.electronic_states=2',
             'task.pretrain_kwargs.scf_kwargs.cas=[6,6]',  # benzene pi space
-            'task.electron_batch_size=2048',
-            'task.steps=6000',
-            'task.pretrain_steps=2000',
+            'task.electron_batch_size=1024',
+            'task.steps=1500',
+            'task.pretrain_steps=1000',
             '+task.fit_block_size=10',
         ],
+        'eval_task': 'evaluate_excited',  # also records oscillator strengths
         'eval_steps': 200,
         'reference': -232.22,
         'reference_source': 'ground-state estimate only; the interesting '
@@ -119,18 +122,51 @@ def run_cli(overrides, workdir, timeout=None):
 
 
 def read_final_energy(workdir):
-    """EWM energy (and sampling error) at the end of an evaluation run."""
+    """Ground-state energy (and sampling error) of an evaluation run."""
+    per_state = read_per_state_energies(workdir)
+    return per_state[0]
+
+
+def read_per_state_energies(workdir):
+    """[(mean, err)] per electronic state from an evaluation run."""
     import h5py
 
     path = Path(workdir) / 'evaluation' / 'result.h5'
     with h5py.File(path, 'r') as f:
         e_loc = np.asarray(f['local_energy/samples'])  # [steps, mol, state, w]
-    samples = e_loc.reshape(len(e_loc), -1)
-    mean = samples.mean()
-    # crude autocorrelation-free error: std of per-step means / sqrt(n_steps)
-    step_means = samples.mean(axis=1)
-    err = step_means.std() / np.sqrt(len(step_means))
-    return float(mean), float(err)
+    n_states = e_loc.shape[2] if e_loc.ndim == 4 else 1
+    e_loc = e_loc.reshape(len(e_loc), n_states, -1)
+    out = []
+    for s in range(n_states):
+        step_means = e_loc[:, s].mean(axis=1)
+        # crude autocorrelation-free error: std of per-step means / sqrt(n)
+        out.append(
+            (float(e_loc[:, s].mean()), float(step_means.std() / np.sqrt(len(step_means))))
+        )
+    return out
+
+
+def read_oscillator_strength(workdir):
+    """Mean oscillator strength f_01 (+err) if the eval recorded it."""
+    import h5py
+
+    path = Path(workdir) / 'evaluation' / 'result.h5'
+    with h5py.File(path, 'r') as f:
+        keys = [k for k in f if k.startswith('oscillator_strength')]
+        if not any('mean' in k for k in keys):
+            return None
+        means = np.asarray(f['oscillator_strength/mean/samples'])
+        errs = np.asarray(f['oscillator_strength/err/samples'])
+    # [steps, mol, state, state] pairwise; take the 0->1 entry of the mean;
+    # the monitor only runs at block boundaries, so drop unwritten (zero) rows
+    f01_rows = means[..., 0, 1].reshape(len(means), -1).mean(axis=1)
+    err_rows = errs[..., 0, 1].reshape(len(errs), -1).mean(axis=1)
+    mask = f01_rows != 0
+    if not mask.any():
+        return None
+    f01 = f01_rows[mask].mean()
+    f01_err = np.sqrt((err_rows[mask] ** 2).mean() / mask.sum())
+    return float(f01), float(f01_err)
 
 
 def main():
@@ -156,36 +192,58 @@ def main():
         eval_wd = Path(args.workdir) / f'{name}_eval'
         run_cli(
             [
-                'task=evaluate',
+                f'task={cfg.get("eval_task", "evaluate")}',
                 f'task.restdir={wd}/training',
                 f'+task.steps={cfg["eval_steps"]}',
                 '+task.fit_block_size=10',
             ],
             eval_wd,
         )
-        energy, err = read_final_energy(eval_wd)
+        per_state = read_per_state_energies(eval_wd)
+        energy, err = per_state[0]
         dev_mha = (energy - cfg['reference']) * 1e3
-        rows.append(
-            {
-                'config': name,
-                'description': cfg['description'],
-                'energy': energy,
-                'err': err,
-                'reference': cfg['reference'],
-                'reference_source': cfg['reference_source'],
-                'deviation_mha': dev_mha,
-                'within_tol': abs(dev_mha) <= cfg['tol_mha'],
-                'train_seconds': round(train_s),
-            }
-        )
+        row = {
+            'config': name,
+            'description': cfg['description'],
+            'energy': energy,
+            'err': err,
+            'reference': cfg['reference'],
+            'reference_source': cfg['reference_source'],
+            'deviation_mha': dev_mha,
+            'within_tol': abs(dev_mha) <= cfg['tol_mha'],
+            'train_seconds': round(train_s),
+        }
+        if len(per_state) > 1:
+            row['excited_energies'] = per_state[1:]
+            gap_ha = per_state[1][0] - per_state[0][0]
+            gap_err = (per_state[0][1] ** 2 + per_state[1][1] ** 2) ** 0.5
+            row['gap_ev'] = gap_ha * 27.211386
+            row['gap_err_ev'] = gap_err * 27.211386
+            osc = read_oscillator_strength(eval_wd)
+            if osc:
+                row['oscillator_strength_01'], row['oscillator_strength_01_err'] = osc
+        rows.append(row)
         print(json.dumps(rows[-1]), flush=True)
         _write_table(rows)  # incrementally, so a later crash loses nothing
     print('wrote docs/ACCURACY.md')
 
 
+ROWS_STORE = Path('docs/evidence/accuracy_rows.json')
+
+
 def _write_table(rows):
     out = Path('docs')
     out.mkdir(exist_ok=True)
+    # merge with rows from previous invocations (e.g. --only runs), newest wins
+    ROWS_STORE.parent.mkdir(exist_ok=True)
+    stored = (
+        {r['config']: r for r in json.loads(ROWS_STORE.read_text())}
+        if ROWS_STORE.exists()
+        else {}
+    )
+    stored.update({r['config']: r for r in rows})
+    rows = list(stored.values())
+    ROWS_STORE.write_text(json.dumps(rows, indent=1))
     with open(out / 'ACCURACY.md', 'w') as f:
         f.write(
             '# Accuracy vs reference\n\n'
@@ -201,6 +259,20 @@ def _write_table(rows):
                 f'| {r["deviation_mha"]:+.1f} | '
                 f'{"yes" if r["within_tol"] else "NO"} |\n'
             )
+        excited = [r for r in rows if 'gap_ev' in r]
+        if excited:
+            f.write('\nExcited-state observables:\n\n')
+            for r in excited:
+                f.write(
+                    f'- {r["config"]}: S0-S1 gap = {r["gap_ev"]:.3f} +/- '
+                    f'{r["gap_err_ev"]:.3f} eV'
+                )
+                if 'oscillator_strength_01' in r:
+                    f.write(
+                        f'; f_01 = {r["oscillator_strength_01"]:.4f} +/- '
+                        f'{r["oscillator_strength_01_err"]:.4f}'
+                    )
+                f.write('\n')
 
 
 if __name__ == '__main__':

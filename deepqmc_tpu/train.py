@@ -320,8 +320,10 @@ class ProgressTracker:
             for row in self.energies
         )
         pbar.set_postfix(E=rendered)
+        # a nan best (EWM warmup) must not freeze the log: treat it as
+        # always-improvable, otherwise `s < 0.5 * nan` never fires again
         halved = self.best is None or any(
-            s < 0.5 * best_s
+            not np.isfinite(best_s) or s < 0.5 * best_s
             for row, best_row in zip(self.energies, self.best)
             for (_, s), (_, best_s) in zip(row, best_row)
         )

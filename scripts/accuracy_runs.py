@@ -152,11 +152,10 @@ def read_oscillator_strength(workdir):
 
     path = Path(workdir) / 'evaluation' / 'result.h5'
     with h5py.File(path, 'r') as f:
-        keys = [k for k in f if k.startswith('oscillator_strength')]
-        if not any('mean' in k for k in keys):
+        if 'oscillator_strength' not in f:
             return None
-        means = np.asarray(f['oscillator_strength/mean/samples'])
-        errs = np.asarray(f['oscillator_strength/err/samples'])
+        means = np.asarray(f['oscillator_strength/mean'])
+        errs = np.asarray(f['oscillator_strength/err'])
     # [steps, mol, state, state] pairwise; take the 0->1 entry of the mean;
     # the monitor only runs at block boundaries, so drop unwritten (zero) rows
     f01_rows = means[..., 0, 1].reshape(len(means), -1).mean(axis=1)

@@ -1,10 +1,18 @@
 """Observable monitors evaluated during training/evaluation.
 
-Reference: /root/reference/src/deepqmc/observable.py.  Each monitor's
-``compute_observable`` is a pure jitted function over the globally-sharded
-batch (the reference dispatches one pmap per monitor per step).
+Feature parity: /root/reference/src/deepqmc/observable.py (monitor zoo:
+energy, wave function, spin, psi ratios, positions, oscillator strength,
+five Hellmann-Feynman force estimators).  The design differs from the
+reference: instead of one pmap dispatch per monitor subclass, every monitor
+here is a declarative :class:`MonitorSpec` — a batch-level sample function
+plus a stats reducer — executed by a single generic jitted runner over the
+globally sharded ``[mol, state, walker]`` batch.  Per-sample observables
+(spin, forces) are vmapped once over the flattened walker grid rather than
+through three nested vmaps, which keeps a single large batch dimension for
+the TPU.
 """
 
+from dataclasses import dataclass
 from functools import partial
 from typing import Any, Callable, Optional
 
@@ -19,7 +27,6 @@ from .parallel import (
 )
 from .physics import evaluate_spin
 from .types import (
-    DataDict,
     Energy,
     ParametrizedWaveFunction,
     Params,
@@ -31,51 +38,94 @@ from .types import (
 __all__ = ['default_observable_monitors', 'EnergyMonitor', 'WaveFunctionMonitor']
 
 
-def compute_mean_and_std(
-    name: str, observable_samples: jax.Array, axis: int = -1
-) -> dict[str, jax.Array]:
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Batch:
+    """Everything a monitor may look at after one optimization step."""
+
+    params: Params
+    phys_conf: PhysicalConfiguration
+    psi: Psi
+    local_energy: Energy
+    psi_ratios: Optional[jax.Array]
+
+    @property
+    def grid_shape(self) -> tuple[int, int, int]:
+        return self.local_energy.shape  # (mol, state, walker)
+
+
+@dataclass(frozen=True)
+class MonitorSpec:
+    """A named observable: batch-level sampler + optional stats reducer."""
+
+    name: str
+    sample: Callable[[Batch], Any]
+    stats: Optional[Callable[[Batch, Any], Stats]] = None
+
+
+def grid_vmap(fn: Callable, batch: Batch, *extra_cols) -> jax.Array:
+    """Map a per-walker function over the flattened (mol, state, walker) grid.
+
+    ``fn(params, phys_conf, *cols)`` is evaluated once per walker; the grid
+    axes are collapsed into one batch axis (one vmap, one large batch for
+    XLA) and restored on the output.
+    """
+    m, s, w = batch.grid_shape
+    flat_conf = jax.tree_util.tree_map(
+        lambda x: x.reshape(m * s * w, *x.shape[3:]), batch.phys_conf
+    )
+    cols = tuple(
+        jnp.broadcast_to(c, (m, s, w) + c.shape[3:]).reshape(m * s * w, *c.shape[3:])
+        for c in extra_cols
+    )
+    out = jax.vmap(fn, (None, 0) + (0,) * len(cols))(batch.params, flat_conf, *cols)
+    return jax.tree_util.tree_map(lambda x: x.reshape(m, s, w, *x.shape[1:]), out)
+
+
+def walker_moments(name: str, samples: jax.Array, axis: int = -1) -> Stats:
+    """Per-(mol, state) mean/std over the walker axis of a sample array."""
     return {
-        f'{name}/mean': jnp.mean(observable_samples, axis),
-        f'{name}/std': jnp.std(observable_samples, axis),
+        f'{name}/mean': jnp.mean(samples, axis),
+        f'{name}/std': jnp.std(samples, axis),
     }
 
 
+# kept under the reference's name for code written against it
+compute_mean_and_std = walker_moments
+
+
 class ObservableMonitor:
-    """Periodically evaluates an observable over the walker batch."""
+    """Generic periodic runner of one :class:`MonitorSpec`.
+
+    Subclasses (the config surface) only provide :meth:`spec`; evaluation,
+    jitting, periodicity, and sample recording are handled here.
+    """
 
     name: str
-    observable_fn: Optional[Callable]
 
     def __init__(self, save_samples: bool, period: int):
         assert period > 0
         self.save_samples = save_samples
         self.period = period
-        self.observable_fn = None
-        self.requires_energy = False
+        self._spec: Optional[MonitorSpec] = None
         self._jitted = None
 
+    # --- subclass hooks ---------------------------------------------------
+
+    def spec(self, hamil, wf: ParametrizedWaveFunction) -> MonitorSpec:
+        raise NotImplementedError
+
+    # --- engine -----------------------------------------------------------
+
     def finalize(self, hamil, wf: ParametrizedWaveFunction) -> 'ObservableMonitor':
+        self._spec = self.spec(hamil, wf)
         return self
 
-    def compute_observable(
-        self,
-        params: Params,
-        phys_conf: PhysicalConfiguration,
-        psi: Psi,
-        local_energy: Energy,
-        psi_ratios: Optional[jax.Array],
-    ) -> tuple[Any, Stats]:
-        assert self.observable_fn is not None, 'call ObservableMonitor.finalize first'
-        if not self.requires_energy:
-            samples = jax.vmap(
-                jax.vmap(jax.vmap(self.observable_fn, (None, 0))), (None, 0)
-            )(params, phys_conf)
-        else:
-            samples = jax.vmap(
-                jax.vmap(jax.vmap(self.observable_fn, (None, 0, 0, None))),
-                (None, 0, 0, 0),
-            )(params, phys_conf, local_energy, local_energy.mean(-1))
-        stats = compute_mean_and_std(self.name, samples, axis=2)
+    def _evaluate(self, batch: Batch) -> tuple[Any, Stats]:
+        spec = self._spec
+        assert spec is not None, 'call ObservableMonitor.finalize first'
+        samples = spec.sample(batch)
+        stats = spec.stats(batch, samples) if spec.stats else {}
         return samples, stats
 
     def __call__(
@@ -90,21 +140,44 @@ class ObservableMonitor:
         if step % self.period:
             return {}
         if self._jitted is None:
-            self._jitted = jax.jit(self.compute_observable)
+            self._jitted = jax.jit(self._evaluate)
         samples, stats = self._jitted(
-            params, phys_conf, psi, local_energy, psi_ratios
+            Batch(params, phys_conf, psi, local_energy, psi_ratios)
         )
         if self.save_samples and samples is not None:
-            stats |= {f'{self.name}/samples': samples}
+            stats |= {f'{self._spec.name}/samples': samples}
         return stats
 
 
-class SpinMonitor(ObservableMonitor):
-    name = 'spin'
+def _per_walker_spec(name: str, fn_factory, with_energy: bool = False) -> Callable:
+    """Spec for an observable evaluated one walker at a time."""
 
-    def finalize(self, hamil, wf):
-        self.observable_fn = evaluate_spin(hamil, wf)
-        return self
+    def build(self, hamil, wf) -> MonitorSpec:
+        fn = fn_factory(hamil, wf)
+
+        if with_energy:
+            # fn also sees (E_loc, per-(mol,state) mean E_loc)
+            def sample(batch: Batch):
+                e_bar = jnp.broadcast_to(
+                    batch.local_energy.mean(-1, keepdims=True), batch.grid_shape
+                )
+                return grid_vmap(fn, batch, batch.local_energy, e_bar)
+
+        else:
+
+            def sample(batch: Batch):
+                return grid_vmap(fn, batch)
+
+        return MonitorSpec(name, sample, lambda b, s: walker_moments(name, s, axis=2))
+
+    return build
+
+
+class SpinMonitor(ObservableMonitor):
+    """Total-spin expectation <S^2> per walker (physics.evaluate_spin)."""
+
+    name = 'spin'
+    spec = _per_walker_spec('spin', lambda hamil, wf: evaluate_spin(hamil, wf))
 
 
 class ForceMonitor(ObservableMonitor):
@@ -113,7 +186,8 @@ class ForceMonitor(ObservableMonitor):
     ``kind`` selects the estimator from :mod:`deepqmc_tpu.force`: the bare
     Coulomb estimator, the antithetic-coordinate zero-variance ('ac_zv'),
     its zero-bias extension ('ac_zvzb', needs local energies), and their
-    Q-function counterparts.
+    Q-function counterparts.  (Reference: one subclass per estimator,
+    observable.py:187-297.)
     """
 
     KINDS = {
@@ -130,15 +204,15 @@ class ForceMonitor(ObservableMonitor):
         self.kind = kind
         self.name = f'hf_force_{kind}'
 
-    def finalize(self, hamil, wf):
+    def spec(self, hamil, wf) -> MonitorSpec:
         from . import force
 
-        builder_name, self.requires_energy = self.KINDS[self.kind]
+        builder_name, with_energy = self.KINDS[self.kind]
         builder = getattr(force, builder_name)
-        self.observable_fn = (
-            builder(hamil) if self.kind == 'bare' else builder(hamil, wf)
+        factory = (
+            (lambda h, w: builder(h)) if self.kind == 'bare' else builder
         )
-        return self
+        return _per_walker_spec(self.name, factory, with_energy)(self, hamil, wf)
 
 
 def _force_monitor_alias(kind):
@@ -153,41 +227,52 @@ ACZVQForceMonitor = _force_monitor_alias('ac_zvq')
 ACZVZBQForceMonitor = _force_monitor_alias('ac_zvzbq')
 
 
+def energy_statistics(batch: Batch, samples) -> Stats:
+    """Cross-device walker statistics of the local energies."""
+    reducers = {
+        'mean': all_device_mean,
+        'std': all_device_std,
+        'min': all_device_min,
+        'max': all_device_max,
+    }
+    return {
+        f'local_energy/{k}': reduce(batch.local_energy, axis=-1)
+        for k, reduce in reducers.items()
+    }
+
+
 class EnergyMonitor(ObservableMonitor):
     """Cross-walker statistics (and samples) of the local energies."""
 
     name = 'local_energy'
 
-    def compute_observable(self, params, phys_conf, psi, local_energy, psi_ratios):
-        stats = {
-            f'{self.name}/mean': all_device_mean(local_energy, axis=-1),
-            f'{self.name}/std': all_device_std(local_energy, axis=-1),
-            f'{self.name}/min': all_device_min(local_energy, axis=-1),
-            f'{self.name}/max': all_device_max(local_energy, axis=-1),
-        }
-        return local_energy, stats
+    def spec(self, hamil, wf) -> MonitorSpec:
+        return MonitorSpec('local_energy', lambda b: b.local_energy, energy_statistics)
 
 
 class PsiRatioMonitor(ObservableMonitor):
     name = 'psi_ratio'
 
-    def compute_observable(self, params, phys_conf, psi, local_energy, psi_ratios):
-        assert psi_ratios is not None
-        return psi_ratios, {}
+    def spec(self, hamil, wf) -> MonitorSpec:
+        def sample(batch: Batch):
+            assert batch.psi_ratios is not None
+            return batch.psi_ratios
+
+        return MonitorSpec('psi_ratio', sample)
 
 
 class ElectronPositionMonitor(ObservableMonitor):
     name = 'r'
 
-    def compute_observable(self, params, phys_conf, psi, local_energy, psi_ratios):
-        return phys_conf.r, {}
+    def spec(self, hamil, wf) -> MonitorSpec:
+        return MonitorSpec('r', lambda b: b.phys_conf.r)
 
 
 class NuclearPositionMonitor(ObservableMonitor):
     name = 'R'
 
-    def compute_observable(self, params, phys_conf, psi, local_energy, psi_ratios):
-        return phys_conf.R[..., 0, :, :], {}
+    def spec(self, hamil, wf) -> MonitorSpec:
+        return MonitorSpec('R', lambda b: b.phys_conf.R[..., 0, :, :])
 
 
 class WaveFunctionMonitor(ObservableMonitor):
@@ -195,43 +280,57 @@ class WaveFunctionMonitor(ObservableMonitor):
 
     name = 'psi'
 
-    def compute_observable(self, params, phys_conf, psi, local_energy, psi_ratios):
-        return {'sign': psi.sign, 'log': psi.log}, {}
+    def spec(self, hamil, wf) -> MonitorSpec:
+        return MonitorSpec('psi', lambda b: {'sign': b.psi.sign, 'log': b.psi.log})
+
+
+def oscillator_strength_statistics(batch: Batch, samples) -> Stats:
+    """Dipole-times-ratio estimator of oscillator strengths between states.
+
+    f_ij = 2/3 (E_j - E_i) |<i|r|j>|^2 with the transition dipole estimated
+    from wave-function ratios; errors propagate first-order through the
+    product/sum chain (same estimator as reference observable.py
+    OscillatorStrengthMonitor, original error algebra).
+    """
+    assert batch.psi_ratios is not None
+    n = batch.local_energy.shape[-1]
+
+    def mean_err(x, axis):
+        return all_device_mean(x, axis=axis), all_device_std(x, axis=axis) / n**0.5
+
+    e, e_err = mean_err(batch.local_energy, -1)
+    gap = e[None, :] - e[:, None]
+    gap_err = (e_err**2 + e_err[:, None] ** 2) ** 0.5
+
+    # transition dipole components: (-Σ_i r_i) ψ_j/ψ_k per walker
+    dipole = jnp.sum(-batch.phys_conf.r, axis=-2)[:, None] * batch.psi_ratios[..., None]
+    d, d_err = mean_err(dipole, -2)
+    d_rel = d_err / d
+
+    # |<i|r|j>|^2 via the symmetrized product of the two ratio estimates
+    strength_vec = d * d.swapaxes(1, 2)
+    strength_vec_err = (
+        jnp.abs(strength_vec) * (d_rel**2 + d_rel.swapaxes(1, 2) ** 2) ** 0.5
+    )
+    strength = jnp.sum(strength_vec, axis=-1)
+    strength_err = jnp.sum(strength_vec_err**2, axis=-1) ** 0.5
+
+    f = (2 / 3) * gap * strength
+    f_err = (
+        (2 / 3)
+        * jnp.abs(f)
+        * ((gap_err / gap) ** 2 + (strength_err / strength) ** 2) ** 0.5
+    )
+    return {'oscillator_strength/mean': f, 'oscillator_strength/err': f_err}
 
 
 class OscillatorStrengthMonitor(ObservableMonitor):
-    """Dipole-times-ratio estimator of oscillator strengths between states."""
-
     name = 'oscillator_strength'
 
-    def compute_observable(self, params, phys_conf, psi, local_energy, psi_ratios):
-        assert psi_ratios is not None
-        sample_size = local_energy.shape[-1]
-
-        energy_mean = all_device_mean(local_energy, axis=-1)
-        energy_err = all_device_std(local_energy, axis=-1) / sample_size**0.5
-        ex_energy_mean = energy_mean[None, :] - energy_mean[:, None]
-        ex_energy_err = (energy_err**2 + energy_err[:, None] ** 2) ** 0.5
-
-        cd = jnp.sum(-phys_conf.r, axis=-2)[:, None] * psi_ratios[..., None]
-        cd_mean = all_device_mean(cd, axis=-2)
-        cd_err = all_device_std(cd, axis=-2) / sample_size**0.5
-        cd_rel_err = cd_err / cd_mean
-
-        ds_vec = cd_mean * cd_mean.swapaxes(1, 2)
-        ds_err_vec = (
-            jnp.abs(ds_vec) * (cd_rel_err**2 + cd_rel_err.swapaxes(1, 2) ** 2) ** 0.5
+    def spec(self, hamil, wf) -> MonitorSpec:
+        return MonitorSpec(
+            'oscillator_strength', lambda b: None, oscillator_strength_statistics
         )
-        ds_mean = jnp.sum(ds_vec, axis=-1)
-        ds_err = jnp.sum(ds_err_vec**2, axis=-1) ** 0.5
-
-        os_mean = (2 / 3) * ex_energy_mean * ds_mean
-        os_err = (
-            (2 / 3)
-            * jnp.abs(os_mean)
-            * ((ex_energy_err / ex_energy_mean) ** 2 + (ds_err / ds_mean) ** 2) ** 0.5
-        )
-        return None, {f'{self.name}/mean': os_mean, f'{self.name}/err': os_err}
 
 
 def default_observable_monitors() -> list[ObservableMonitor]:

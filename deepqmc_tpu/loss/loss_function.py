@@ -50,16 +50,7 @@ from .energy import (
     compute_mean_energy,
     compute_mean_energy_tangent,
 )
-from .overlap import (
-    OverlapGradientScaleFactory,
-    compute_mean_overlap,
-    compute_mean_overlap_tangent,
-    compute_psi_ratio,
-    no_scaling,
-    scale_by_energy_gap,
-    scale_by_energy_std,
-    scale_by_max_gap_std,
-)
+from .overlap import OverlapPenalty
 from .spin import (
     compute_mean_spin,
     compute_mean_spin_tangent,
@@ -95,23 +86,6 @@ def _batched_log_psi(ansatz: Ansatz, phys_conf, params: Params) -> jax.Array:
     return jax.vmap(ansatz.apply, (None, 0))(params, phys_conf).log
 
 
-OVERLAP_SCALES: dict[Optional[str], OverlapGradientScaleFactory] = {
-    None: lambda min_gap_scale_factor: no_scaling,
-    'energy_gap': lambda min_gap_scale_factor: cast(
-        OverlapGradientScaleFactory,
-        partial(scale_by_energy_gap, min_gap_scale_factor=min_gap_scale_factor),
-    ),
-    'energy_std': lambda min_gap_scale_factor: cast(
-        OverlapGradientScaleFactory,
-        partial(scale_by_energy_std, min_gap_scale_factor=min_gap_scale_factor),
-    ),
-    'max_gap_std': lambda min_gap_scale_factor: cast(
-        OverlapGradientScaleFactory,
-        partial(scale_by_max_gap_std, min_gap_scale_factor=min_gap_scale_factor),
-    ),
-}
-
-
 class VMCLoss:
     """Weighted mean local energy with optional overlap and spin penalties.
 
@@ -138,7 +112,7 @@ class VMCLoss:
         self.clip_mask_overlap_fn = clip_mask_overlap_fn
         self.alpha = alpha
         self.spin_penalty = spin_penalty
-        self.overlap_scale = OVERLAP_SCALES[scale_overlap_by](min_gap_scale_factor)
+        self.overlap_penalty = OverlapPenalty(scale_overlap_by, min_gap_scale_factor)
         self.sort_states_by = sort_states_by
 
     # -- shared forward work -------------------------------------------------
@@ -165,12 +139,12 @@ class VMCLoss:
         psi_ratio = None
         spin_contributions = None
         if phys_conf.batch_shape[1] > 1:
-            psi_ratio, psi_stats = compute_psi_ratio(
+            psi_ratio = self.overlap_penalty.ratios(
                 self.ansatz, stacked_params, phys_conf
             )
-            overlap, overlap_stats = compute_mean_overlap(psi_ratio, weight)
+            overlap, overlap_stats = self.overlap_penalty.value(psi_ratio, weight)
             loss += self.alpha * overlap
-            stats |= psi_stats | overlap_stats
+            stats |= overlap_stats
         if self.spin_penalty is not None:
             spin_contributions = compute_spin_contributions(
                 self.hamil, self.ansatz, stacked_params, phys_conf
@@ -220,7 +194,6 @@ class VMCLoss:
             clipped_ratio, ratio_mask = clip_psi_ratio(
                 self.clip_mask_overlap_fn, psi_ratio
             )
-            _, clipped_overlap_stats = compute_mean_overlap(clipped_ratio, weight)
             overlap_data = dict(data, ordering=self._state_ordering(data))
 
         def assemble_tangent(log_psi_tangent):
@@ -229,13 +202,11 @@ class VMCLoss:
                 clipped_energy, weight, log_psi_tangent, gradient_mask
             )
             if psi_ratio is not None:
-                tangent += self.alpha * compute_mean_overlap_tangent(
+                tangent += self.alpha * self.overlap_penalty.tangent(
                     clipped_ratio,
                     weight,
                     log_psi_tangent,
                     ratio_mask,
-                    clipped_overlap_stats['overlap/pairwise/mean'],
-                    self.overlap_scale,
                     overlap_data,
                 )
             if spin_contributions is not None:

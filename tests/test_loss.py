@@ -24,11 +24,7 @@ from deepqmc_tpu.loss.energy import (
     compute_mean_energy_tangent,
 )
 from deepqmc_tpu.loss.loss_function import _batched_log_psi, _state_phys_conf
-from deepqmc_tpu.loss.overlap import (
-    compute_mean_overlap,
-    compute_mean_overlap_tangent,
-    compute_psi_ratio,
-)
+from deepqmc_tpu.loss.overlap import OverlapPenalty
 from deepqmc_tpu.loss.spin import (
     compute_mean_spin_tangent,
     compute_spin_contributions,
@@ -111,9 +107,9 @@ def test_direct_gradient_matches_tangent(loss_setup, helpers, with_spin):
     )
     np.testing.assert_allclose(np.asarray(E_loc), np.asarray(local_energy))
     clipped_E, mask = clip_local_energy(median_log_squeeze_and_mask, local_energy)
-    psi_ratio, _ = compute_psi_ratio(ansatz, stacked, phys_conf)
+    penalty = loss_fn.overlap_penalty
+    psi_ratio = penalty.ratios(ansatz, stacked, phys_conf)
     clipped_ratio, ratio_mask = clip_psi_ratio(psi_ratio_clip_and_mask, psi_ratio)
-    _, clipped_overlap_stats = compute_mean_overlap(clipped_ratio, weight)
     overlap_data = dict(data, ordering=jnp.argsort(data['energy_ewm'], axis=-1))
     if with_spin:
         spin_contributions = compute_spin_contributions(
@@ -122,15 +118,7 @@ def test_direct_gradient_matches_tangent(loss_setup, helpers, with_spin):
 
     def tangent_from(T):
         t = compute_mean_energy_tangent(clipped_E, weight, T, mask)
-        t += compute_mean_overlap_tangent(
-            clipped_ratio,
-            weight,
-            T,
-            ratio_mask,
-            clipped_overlap_stats['overlap/pairwise/mean'],
-            loss_fn.overlap_scale,
-            overlap_data,
-        )
+        t += penalty.tangent(clipped_ratio, weight, T, ratio_mask, overlap_data)
         if with_spin:
             t += 0.5 * compute_mean_spin_tangent(
                 spin_contributions, weight, T, mask

@@ -88,19 +88,43 @@ ELEMENTS = {
 }
 
 
+def _cached_ae_solve(z, occs):
+    """Disk-cached AE solve (the Sc AE configs take minutes each)."""
+    key = f'{z}_' + '_'.join(
+        f'{l}-' + '-'.join(map(str, fs)) for l, fs in sorted(occs.items())
+    )
+    cache = Path(f'/tmp/ae_cache_{key}_{AE_GRID["n_grid"]}.json')
+    if cache.exists():
+        from deepqmc_tpu.ecp.radial_atom import AtomSolution
+
+        data = json.loads(cache.read_text())
+        return AtomSolution(
+            e_total=data['e_total'],
+            eigenvalues={tuple(map(int, k.split(','))): v
+                         for k, v in data['eigenvalues'].items()},
+            orbitals={}, r=None, occs=occs, iterations=0, converged=True,
+        )
+    sol = solve_atom(z, occs, **AE_GRID)
+    cache.write_text(json.dumps({
+        'e_total': sol.e_total,
+        'eigenvalues': {f'{l},{n}': v for (l, n), v in sol.eigenvalues.items()},
+    }))
+    return sol
+
+
 def ae_targets(spec):
     """High-accuracy AE eigenvalue/probe targets for one element."""
-    ae = solve_atom(spec['z'], spec['ae'], **AE_GRID)
+    ae = _cached_ae_solve(spec['z'], spec['ae'])
     assert ae.converged
     eig = {k_val: ae.eigenvalues[k_ae] for k_val, k_ae in spec['eig_map'].items()}
     probes, probe_names = [], []
     for name, ae_occs, val_occs in spec['probes']:
-        sol = solve_atom(spec['z'], ae_occs, **AE_GRID)
+        sol = _cached_ae_solve(spec['z'], ae_occs)
         assert sol.converged
         probes.append((val_occs, sol.e_total - ae.e_total))
         probe_names.append(name)
     name, ho_ae_occs, ho_val_occs = spec['held_out']
-    ho = solve_atom(spec['z'], ho_ae_occs, **AE_GRID)
+    ho = _cached_ae_solve(spec['z'], ho_ae_occs)
     held_out = (name, ho_val_occs, ho.e_total - ae.e_total)
     return ae, eig, probes, probe_names, held_out
 
@@ -140,7 +164,7 @@ def write_gamess(path, sym, ecp_type, n_core, local, nonlocal_, header_note):
     Path(path).write_text('\n'.join(lines) + '\n')
 
 
-def run(sym, ecp_type, init_params, write=True, label='refit'):
+def run(sym, ecp_type, init_params, write=True, label='refit', tether=0.03):
     spec = ELEMENTS[sym]
     z = spec['z']
     print(f'== {sym} {ecp_type}: computing AE targets ==', flush=True)
@@ -151,7 +175,8 @@ def run(sym, ecp_type, init_params, write=True, label='refit'):
         print(f'  {name:>22} {dev:+8.1f} mHa')
     print('fitting...', flush=True)
     params, res = fit_ecp_params(
-        z, init_params, spec['val'], eig, probes, grid_kwargs=FIT_GRID, verbose=True
+        z, init_params, spec['val'], eig, probes,
+        grid_kwargs=FIT_GRID, tether=tether, verbose=True,
     )
     print('after:', flush=True)
     after = measure(z, params, spec['val'], eig, probes, probe_names, held_out)
@@ -200,6 +225,21 @@ def main():
     p.add_argument('--element', default=None)
     p.add_argument('--ecp-type', default='ccECP')
     p.add_argument('--check-recovery', default=None, metavar='ELEMENT')
+    p.add_argument(
+        '--tether',
+        type=float,
+        default=0.03,
+        help='weight of the stay-near-initial-parameters regularizer; use a '
+        'small value (~0.003) when the initial parameters are known-bad '
+        'placeholders that the fit must move far from',
+    )
+    p.add_argument(
+        '--enrich',
+        action='store_true',
+        help='add extra Gaussian terms (incl. a d-projector channel) before '
+        'fitting — for elements whose minimal parameterization cannot '
+        'reproduce AE valence physics (transition metals)',
+    )
     args = p.parse_args()
     if args.check_recovery:
         sym = args.check_recovery
@@ -212,7 +252,17 @@ def main():
     else:
         sym = args.element
         params = copy.deepcopy(get_ecp_params(args.ecp_type, ELEMENTS[sym]['z']))
-        run(sym, args.ecp_type, params)
+        if args.enrich:
+            n_core, local, nonlocal_ = params
+            local[1].append([3.0, 0.0])  # second r^0 local term
+            nonlocal_[0].append([4.0, 0.0])  # second s-projector term
+            if len(nonlocal_) > 1:
+                nonlocal_[1].append([3.5, 0.0])  # second p-projector term
+            # d-projector channel: the d shell otherwise feels only the
+            # local part, which has too little freedom for 3d physics
+            nonlocal_.append([[5.0, 0.0], [1.5, 0.0]])
+            params = (n_core, local, nonlocal_)
+        run(sym, args.ecp_type, params, tether=args.tether)
 
 
 if __name__ == '__main__':

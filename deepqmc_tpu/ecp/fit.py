@@ -113,7 +113,7 @@ def fit_ecp_params(
         return np.asarray(res)
 
     fit = least_squares(
-        residuals, theta0, diff_step=1e-4, x_scale='jac', ftol=1e-12, xtol=1e-10
+        residuals, theta0, diff_step=1e-3, x_scale='jac', ftol=1e-12, xtol=1e-10
     )
     local, nonlocal_ = unpack_params(fit.x, z_eff, n_const, n_chan)
     return (n_core, local, nonlocal_), fit.fun[: len(eig_targets) + len(probe_targets)]

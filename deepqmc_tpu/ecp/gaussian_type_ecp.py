@@ -42,11 +42,14 @@ def parse_gaussian_type_ecp_params(charges, ecp_type, ecp_mask):
         if ecp_mask[i]:
             n_core, local, nonlocal_ = get_ecp_params(ecp_type, int(z))
             max_loc_terms = max(max_loc_terms, *(len(c) for c in local), 1)
-            nl = (
-                jnp.array(nonlocal_).swapaxes(-1, -2)
-                if nonlocal_ and any(len(c) for c in nonlocal_)
-                else jnp.zeros((1, 2, 0))
-            )
+            if nonlocal_ and any(len(c) for c in nonlocal_):
+                # channels may carry different term counts (e.g. the refit
+                # Sc table): zero-pad to a rectangular [l, n_terms, 2] array
+                width = max(len(c) for c in nonlocal_)
+                padded = [c + [[0.0, 0.0]] * (width - len(c)) for c in nonlocal_]
+                nl = jnp.array(padded).swapaxes(-1, -2)
+            else:
+                nl = jnp.zeros((1, 2, 0))
         else:
             n_core, local, nl = 0, [[], [], []], jnp.zeros((1, 2, 0))
         ns_valence.append(int(z) - n_core)

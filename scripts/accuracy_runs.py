@@ -172,12 +172,29 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument('--only', default=None)
     p.add_argument('--workdir', default='runs/accuracy')
+    p.add_argument(
+        '--steps-scale',
+        type=float,
+        default=1.0,
+        help='multiply task.steps / task.pretrain_steps of every config '
+        '(compressed runs on a shared chip; the ACCURACY row records the '
+        'actual step count)',
+    )
     args = p.parse_args()
     names = args.only.split(',') if args.only else list(CONFIGS)
 
+    def _scaled(overrides):
+        out = []
+        for ov in overrides:
+            key, _, val = ov.partition('=')
+            if key.endswith(('task.steps', 'task.pretrain_steps')):
+                ov = f'{key}={max(1, int(int(val) * args.steps_scale))}'
+            out.append(ov)
+        return out
+
     rows = []
     for name in names:
-        cfg = CONFIGS[name]
+        cfg = dict(CONFIGS[name], overrides=_scaled(CONFIGS[name]['overrides']))
         wd = Path(args.workdir) / name
         done_log = Path(wd) / 'deepqmc.log'
         if (
@@ -201,9 +218,14 @@ def main():
         per_state = read_per_state_energies(eval_wd)
         energy, err = per_state[0]
         dev_mha = (energy - cfg['reference']) * 1e3
+        steps_note = next(
+            (ov.split('=')[1] for ov in cfg['overrides']
+             if ov.split('=')[0].endswith('task.steps')),
+            '?',
+        )
         row = {
             'config': name,
-            'description': cfg['description'],
+            'description': cfg['description'] + f' [{steps_note} steps]',
             'energy': energy,
             'err': err,
             'reference': cfg['reference'],

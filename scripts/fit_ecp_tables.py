@@ -253,14 +253,18 @@ def main():
         sym = args.element
         params = copy.deepcopy(get_ecp_params(args.ecp_type, ELEMENTS[sym]['z']))
         if args.enrich:
+            # seeds are NONZERO: a zero-coefficient Gaussian has a (nearly)
+            # zero jacobian column — its exponent is a dead direction and
+            # trust-region steps stall before the term can grow
             n_core, local, nonlocal_ = params
-            local[1].append([3.0, 0.0])  # second r^0 local term
-            nonlocal_[0].append([4.0, 0.0])  # second s-projector term
+            local[1].append([3.0, 1.0])  # second r^0 local term
+            nonlocal_[0].append([4.0, 5.0])  # second s-projector term
             if len(nonlocal_) > 1:
-                nonlocal_[1].append([3.5, 0.0])  # second p-projector term
+                nonlocal_[1].append([3.5, 5.0])  # second p-projector term
             # d-projector channel: the d shell otherwise feels only the
-            # local part, which has too little freedom for 3d physics
-            nonlocal_.append([[5.0, 0.0], [1.5, 0.0]])
+            # local part, which has too little freedom for 3d physics;
+            # exponents bracket the 3d density peak (r ~ 1 bohr)
+            nonlocal_.append([[3.0, 2.0], [0.8, -1.0]])
             params = (n_core, local, nonlocal_)
         run(sym, args.ecp_type, params, tether=args.tether)
 

@@ -206,13 +206,19 @@ def test_packaged_lih_tables_against_reference_goldens(ecp_type):
         jax.config.update('jax_threefry_partitionable', old)
 
 
-def test_provisional_sc_table_loads_with_warning(caplog):
-    """ScO + ccECP builds out of the box from the provisional Sc table."""
+def test_sc_table_loads_cleanly_and_matches_ae_valence(caplog):
+    """ScO + ccECP builds from the in-house-refit Sc table, warning-free.
+
+    The table is an in-house LDA-refit (tables/README.md): unlike the former
+    provisional placeholder it needs no runtime warning because its valence
+    physics is verified against the in-repo all-electron oracle — spot-check
+    the 3d eigenvalue here (full evidence: docs/evidence/ecp_fit_Sc_refit.json).
+    """
     import logging
 
-    from deepqmc_tpu.ecp.data import _REGISTRY
+    from deepqmc_tpu.ecp.data import _REGISTRY, get_ecp_params
+    from deepqmc_tpu.ecp.radial_atom import solve_atom
 
-    # drop any previously-loaded entry so the provisional-load warning fires
     _REGISTRY.pop(('ccecp', 21), None)
     with caplog.at_level(logging.WARNING, logger='deepqmc_tpu.ecp.data'):
         h = MolecularHamiltonian(mol=Molecule.from_name('ScO'), ecp_type='ccECP')
@@ -222,7 +228,17 @@ def test_provisional_sc_table_loads_with_warning(caplog):
     assert np.isfinite(
         np.asarray(jax.vmap(h.potential.local_potential)(pc))
     ).all()
-    assert any('PROVISIONAL' in r.message for r in caplog.records)
+    assert not any('PROVISIONAL' in r.message for r in caplog.records)
+
+    grid = {'rmin': 1e-6, 'n_grid': 1500}
+    ae = solve_atom(21, {0: [2, 2, 2, 2], 1: [6, 6], 2: [1]}, **grid)
+    pp = solve_atom(
+        21,
+        {0: [2, 2], 1: [6], 2: [1]},
+        ecp_params=get_ecp_params('ccECP', 21),
+        **grid,
+    )
+    assert abs(pp.eigenvalues[(2, 0)] - ae.eigenvalues[(2, 0)]) < 0.02
 
 
 def test_unpackaged_element_raises():

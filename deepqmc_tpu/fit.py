@@ -198,36 +198,59 @@ def fit_wf(  # noqa: C901
     rngs_iter = rng_iterator(rng)
     profile_dir = os.environ.get(PROFILE_DIR_ENV)
     block_counter = 0
-    done = False
-    while not done:
+
+    def next_block_inputs():
+        """(steps, rngs, mol_idxs) of the next block, or None at the end."""
         block_steps = []
         for _ in range(block_size):
             try:
                 block_steps.append(next(steps_iter))
             except StopIteration:
-                done = True
                 break
         if not block_steps:
-            break
+            return None
         k = len(block_steps)
-        block_start = time.perf_counter()
-        rngs = jnp.stack([next(rngs_iter) for _ in range(k)])
-        mol_idxs_block = jnp.stack(
-            [molecule_idx_sampler.sample() for _ in range(k)]
+        return (
+            block_steps,
+            jnp.stack([next(rngs_iter) for _ in range(k)]),
+            jnp.stack([molecule_idx_sampler.sample() for _ in range(k)]),
         )
-        if profile_dir and block_counter == PROFILE_BLOCK:
-            log.info(f'Capturing jax.profiler trace of block {block_counter}')
+
+    def dispatch(inputs, carry, counter):
+        """Enqueue one block; returns device-array handles immediately
+        (async dispatch), so the host can log the PREVIOUS block while the
+        device crunches this one."""
+        _, rngs, mol_idxs_block = inputs
+        if profile_dir and counter == PROFILE_BLOCK:
+            log.info(f'Capturing jax.profiler trace of block {counter}')
             with jax.profiler.trace(profile_dir):
-                carry, (outputs, heavy) = train_block(rngs, mol_idxs_block, carry)
-                jax.block_until_ready(outputs)
+                carry, out = train_block(rngs, mol_idxs_block, carry)
+                jax.block_until_ready(out)
         else:
-            carry, (outputs, heavy) = train_block(rngs, mol_idxs_block, carry)
+            carry, out = train_block(rngs, mol_idxs_block, carry)
+        return carry, out
+
+    # software-pipelined loop: while the host fetches and logs block N, the
+    # device already executes block N+1 — without this, every block pays the
+    # full host-side logging time as device idle time
+    inflight = next_block_inputs()
+    if inflight is not None:
+        block_start = time.perf_counter()
+        carry, (outputs, heavy) = dispatch(inflight, carry, block_counter)
         block_counter += 1
+    while inflight is not None:
+        block_steps, _, mol_idxs_block = inflight
+        k = len(block_steps)
         train_state = carry[0]
+        pending = next_block_inputs()
+        if pending is not None:
+            next_carry, next_out = dispatch(pending, carry, block_counter)
+            block_counter += 1
         # the heavy per-step phys_confs stay on device; only the last step's
         # configuration feeds the periodic monitors
         outputs = jax.device_get(outputs)
         block_time = time.perf_counter() - block_start
+        block_start = time.perf_counter()
         n_walkers = int(np.prod(train_state.sampler['elec']['r'].shape[:3]))
         for b, step in enumerate(block_steps):
             stats = _unpack(layout_box['layout'], outputs['stats_flat'][b])
@@ -265,3 +288,6 @@ def fit_wf(  # noqa: C901
                     stats |= jax.device_get(extra_stats)
                     observable_samples |= jax.device_get(extra_samples)
             yield step, train_state, mol_idxs, stats, observable_samples
+        inflight = pending
+        if pending is not None:
+            carry, (outputs, heavy) = next_carry, next_out

@@ -34,15 +34,29 @@ Z_OF = {sym.lower(): i + 1 for i, sym in enumerate(ELEMENTS)}
 
 # registry: (ecp_type.lower(), z) -> (n_core, local, nonlocal)
 _REGISTRY: dict = {}
+# provenance of each registry entry: 'user' (programmatic) > 'dir'
+# (DEEPQMC_TPU_ECP_DIR / ecp_dir) > 'refit' (opt-in packaged refit) >
+# 'packaged'; higher-precedence sources overwrite lower ones
+_SOURCE: dict = {}
+_SOURCE_RANK = {'packaged': 0, 'refit': 1, 'dir': 2, 'user': 3}
+# directories already parsed, per ecp_type, to avoid re-reading on every call
+_LOADED_DIRS: set = set()
 
 
-def register_ecp_params(ecp_type: str, z: int, n_core: int, local, nonlocal_):
+def register_ecp_params(
+    ecp_type: str, z: int, n_core: int, local, nonlocal_, _source: str = 'user'
+):
     """Register ECP parameters for one element.
 
     ``local``: [coulomb_terms, const_terms, linear_terms], each a list of
     [alpha, beta]; ``nonlocal_``: per-l list of lists of [alpha, beta].
+    Programmatic registration takes precedence over any file-loaded table.
     """
-    _REGISTRY[(ecp_type.lower(), int(z))] = (n_core, local, nonlocal_)
+    key = (ecp_type.lower(), int(z))
+    if _SOURCE_RANK[_source] < _SOURCE_RANK.get(_SOURCE.get(key, ''), -1):
+        return
+    _REGISTRY[key] = (n_core, local, nonlocal_)
+    _SOURCE[key] = _source
 
 
 def parse_gamess_ecp(text: str):
@@ -104,48 +118,70 @@ def _load_dir(ecp_dir: Path, ecp_type: str):
             continue
         z = Z_OF.get(sym.lower())
         if z:
-            register_ecp_params(ecp_type, z, n_core, local, nonlocal_)
+            register_ecp_params(ecp_type, z, n_core, local, nonlocal_, _source='dir')
+
+
+def _register_table_file(f: Path, ecp_type: str, source: str):
+    text = f.read_text()
+    sym, n_core, local, nonlocal_ = parse_gamess_ecp(text)
+    z = Z_OF.get(sym.lower())
+    if not z:
+        return
+    key = (ecp_type.lower(), z)
+    already = _SOURCE_RANK.get(_SOURCE.get(key, ''), -1) >= _SOURCE_RANK[source]
+    if not already and 'IN-HOUSE' in text:
+        log.warning(
+            f'The packaged {ecp_type} ECP table for {sym} is an IN-HOUSE '
+            'LDA refit, NOT the published file (provenance: '
+            'deepqmc_tpu/ecp/tables/README.md). Energies for systems '
+            f'containing {sym} are not directly comparable to published '
+            f'{ecp_type} literature values; supply the published file via '
+            'DEEPQMC_TPU_ECP_DIR for production use.'
+        )
+    register_ecp_params(ecp_type, z, n_core, local, nonlocal_, _source=source)
 
 
 def _load_packaged(ecp_type: str):
-    """Register the verified tables shipped under ecp/tables/.
+    """Register the tables shipped under ecp/tables/.
 
     Files are named ``<SYM>.<ecp_type>.gamess``; see tables/README.md for
-    provenance and verification status of each.
+    provenance and verification status of each. In-house refit alternatives
+    under ``tables/refit/`` override the published defaults only when
+    explicitly opted into via ``DEEPQMC_TPU_ECP_USE_REFIT`` (a comma list of
+    element symbols, or ``all``).
     """
     tables = Path(__file__).parent / 'tables'
     for f in sorted(tables.glob(f'*.{ecp_type}.gamess')):
-        sym, n_core, local, nonlocal_ = parse_gamess_ecp(f.read_text())
-        z = Z_OF.get(sym.lower())
-        if z and (ecp_type.lower(), z) not in _REGISTRY:
-            register_ecp_params(ecp_type, z, n_core, local, nonlocal_)
-    # provisional tables: correct core structure and functional-form
-    # identities, but Gaussian parameters unverified against any oracle in
-    # this offline build — loaded last, with a loud warning
-    for f in sorted((tables / 'provisional').glob(f'*.{ecp_type}.gamess')):
-        sym, n_core, local, nonlocal_ = parse_gamess_ecp(f.read_text())
-        z = Z_OF.get(sym.lower())
-        if z and (ecp_type.lower(), z) not in _REGISTRY:
-            log.warning(
-                f'Using PROVISIONAL {ecp_type} ECP parameters for {sym}: the '
-                'core structure is correct but the Gaussian terms are '
-                'unverified (see deepqmc_tpu/ecp/tables/README.md). For '
-                'production, supply the published file via DEEPQMC_TPU_ECP_DIR.'
-            )
-            register_ecp_params(ecp_type, z, n_core, local, nonlocal_)
+        _register_table_file(f, ecp_type, 'packaged')
+    use_refit = os.environ.get('DEEPQMC_TPU_ECP_USE_REFIT', '')
+    if use_refit:
+        wanted = {s.strip().lower() for s in use_refit.split(',')}
+        for f in sorted((tables / 'refit').glob(f'*.{ecp_type}.gamess')):
+            sym = f.name.split('.')[0]
+            if 'all' in wanted or sym.lower() in wanted:
+                log.info(f'Opt-in in-house refit {ecp_type} table for {sym}')
+                _register_table_file(f, ecp_type, 'refit')
 
 
 def get_ecp_params(
     ecp_type: str, z: int, ecp_dir: Optional[str] = None
 ) -> tuple[int, list, list]:
-    """Parameters (n_core, local, nonlocal) for one element, or raise."""
+    """Parameters (n_core, local, nonlocal) for one element, or raise.
+
+    Precedence (highest first): programmatic :func:`register_ecp_params`,
+    files in ``ecp_dir`` / ``DEEPQMC_TPU_ECP_DIR``, opt-in packaged refits,
+    packaged tables — so a user-supplied published file always overrides a
+    packaged (possibly in-house-refit) table.
+    """
     key = (ecp_type.lower(), int(z))
-    if key not in _REGISTRY:
-        _load_packaged(ecp_type)
-    if key not in _REGISTRY:
-        ecp_dir = ecp_dir or os.environ.get('DEEPQMC_TPU_ECP_DIR')
-        if ecp_dir:
+    ecp_dir = ecp_dir or os.environ.get('DEEPQMC_TPU_ECP_DIR')
+    if ecp_dir:
+        dir_key = (str(Path(ecp_dir).resolve()), ecp_type.lower())
+        if dir_key not in _LOADED_DIRS:
             _load_dir(Path(ecp_dir), ecp_type)
+            _LOADED_DIRS.add(dir_key)
+    if key not in _REGISTRY or _SOURCE.get(key) in ('packaged', 'refit'):
+        _load_packaged(ecp_type)
     if key not in _REGISTRY:
         raise ValueError(
             f'No {ecp_type!r} ECP parameters available for element Z={z}. '

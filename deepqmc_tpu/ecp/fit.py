@@ -100,13 +100,18 @@ def fit_ecp_params(
         local, nonlocal_ = unpack_params(theta, z_eff, n_const, n_chan)
         params = (n_core, local, nonlocal_)
         base = _solve(val_occs, params)
+        converged = bool(base.converged)
         res = [base.eigenvalues[k] - v for k, v in eig_targets.items()]
         for occs_after, d_ae in probe_targets:
             probe = _solve(occs_after, params)
+            converged = converged and bool(probe.converged)
             res.append((probe.e_total - base.e_total) - d_ae)
         res.extend(tether * (theta - theta0))
-        if not (base.converged and all(np.isfinite(res))):
-            res = [1e3] * len(res)
+        if not (converged and all(np.isfinite(res))):
+            # theta-dependent penalty: a constant vector has a zero
+            # finite-difference Jacobian, which stalls least_squares at the
+            # infeasible point; growing with |theta - theta0| pushes it back
+            res = [1e3 * (1.0 + float(np.linalg.norm(theta - theta0)))] * len(res)
         if verbose:
             devs = ', '.join(f'{r * 1e3:+.1f}' for r in res[: -len(theta0)])
             print(f'  devs [mHa]: {devs}', flush=True)

@@ -172,6 +172,10 @@ def fit_wf(  # noqa: C901
         carry, (outputs, heavy) = jax.lax.scan(
             step_body, carry, (rngs, mol_idxs_block)
         )
+        # only the final step's configuration feeds the periodic monitors —
+        # keep one step, not the whole block, so the pipelined loop's two
+        # in-flight blocks cost 2 single-step buffers instead of 2 x k
+        heavy = jax.tree_util.tree_map(lambda x: x[-1], heavy)
         stats = outputs.pop('stats')
         layout, outputs['stats_flat'] = _pack(
             {k: jnp.asarray(v, jnp.float32) for k, v in stats.items()}
@@ -243,9 +247,16 @@ def fit_wf(  # noqa: C901
         k = len(block_steps)
         train_state = carry[0]
         pending = next_block_inputs()
+        pending_exc = None
         if pending is not None:
-            next_carry, next_out = dispatch(pending, carry, block_counter)
-            block_counter += 1
+            try:
+                next_carry, next_out = dispatch(pending, carry, block_counter)
+                block_counter += 1
+            except Exception as exc:  # noqa: BLE001
+                # don't lose block N's finished steps to a failed dispatch of
+                # block N+1 — yield them first, re-raise after
+                pending_exc = exc
+                pending = None
         # the heavy per-step phys_confs stay on device; only the last step's
         # configuration feeds the periodic monitors
         outputs = jax.device_get(outputs)
@@ -265,9 +276,7 @@ def fit_wf(  # noqa: C901
                 },
             }
             if b == k - 1 and observable_monitors:
-                last_phys_conf = jax.tree_util.tree_map(
-                    lambda x: x[b], heavy['phys_conf']
-                )
+                last_phys_conf = heavy['phys_conf']
                 ratios = (
                     None
                     if np.ndim(outputs['ratios']) == 1
@@ -288,6 +297,8 @@ def fit_wf(  # noqa: C901
                     stats |= jax.device_get(extra_stats)
                     observable_samples |= jax.device_get(extra_samples)
             yield step, train_state, mol_idxs, stats, observable_samples
+        if pending_exc is not None:
+            raise pending_exc
         inflight = pending
         if pending is not None:
             carry, (outputs, heavy) = next_carry, next_out

@@ -69,8 +69,8 @@ CONFIGS = {
     },
     'sco': {
         'description': 'ScO, PsiFormer, 1024 walkers, ccECP (progression '
-        'config 4; packaged ECP tables; Sc table PROVISIONAL, see '
-        'ecp/tables/README.md)',
+        'config 4; packaged tables: O published ccECP, Sc in-house LDA '
+        'refit - NOT the published file, see ecp/tables/README.md)',
         'overrides': [
             'task=train_psiformer',
             'hamil/mol=ScO',
@@ -180,6 +180,21 @@ def main():
         '(compressed runs on a shared chip; the ACCURACY row records the '
         'actual step count)',
     )
+    p.add_argument(
+        '--resume-to',
+        type=int,
+        default=None,
+        help='instead of training from scratch, RESUME each selected config '
+        'from the latest checkpoint in its training workdir (task=restart) '
+        'and continue to this total step count; results land in '
+        '<workdir>/<name>_resume<N>',
+    )
+    p.add_argument(
+        '--eval-steps',
+        type=int,
+        default=None,
+        help='override the per-config evaluation step count',
+    )
     args = p.parse_args()
     names = args.only.split(',') if args.only else list(CONFIGS)
 
@@ -192,25 +207,60 @@ def main():
             out.append(ov)
         return out
 
+    stored_rows = (
+        {r['config']: r for r in json.loads(ROWS_STORE.read_text())}
+        if ROWS_STORE.exists()
+        else {}
+    )
     rows = []
     for name in names:
         cfg = dict(CONFIGS[name], overrides=_scaled(CONFIGS[name]['overrides']))
         wd = Path(args.workdir) / name
-        done_log = Path(wd) / 'deepqmc.log'
-        if (
-            done_log.exists()
-            and 'training has been completed' in done_log.read_text()
-        ):
-            print(f'{name}: training already completed, skipping', flush=True)
-            train_s = 0.0
+        prev_train_s = stored_rows.get(name, {}).get('train_seconds') or 0.0
+        if args.resume_to is not None:
+            # continue training from the latest checkpoint of the existing
+            # run up to a larger total step budget (VERDICT r2 item 2)
+            src = wd
+            resume_wd = Path(args.workdir) / f'{name}_resume{args.resume_to}'
+            done_log = resume_wd / 'deepqmc.log'
+            if (
+                done_log.exists()
+                and 'training has been completed' in done_log.read_text()
+            ):
+                print(f'{name}: resume already completed, skipping', flush=True)
+                train_s = prev_train_s
+            else:
+                train_s = prev_train_s + run_cli(
+                    [
+                        'task=restart',
+                        f'task.restdir={src}/training',
+                        f'+task.steps={args.resume_to}',
+                        '+task.fit_block_size=10',
+                    ],
+                    resume_wd,
+                )
+            wd = resume_wd
         else:
-            train_s = run_cli(cfg['overrides'], wd)
-        eval_wd = Path(args.workdir) / f'{name}_eval'
+            done_log = Path(wd) / 'deepqmc.log'
+            if (
+                done_log.exists()
+                and 'training has been completed' in done_log.read_text()
+            ):
+                print(f'{name}: training already completed, skipping', flush=True)
+                train_s = prev_train_s
+            else:
+                train_s = run_cli(cfg['overrides'], wd)
+        eval_steps = args.eval_steps or cfg['eval_steps']
+        eval_wd = Path(args.workdir) / (
+            f'{name}_resume{args.resume_to}_eval'
+            if args.resume_to is not None
+            else f'{name}_eval'
+        )
         run_cli(
             [
                 f'task={cfg.get("eval_task", "evaluate")}',
                 f'task.restdir={wd}/training',
-                f'+task.steps={cfg["eval_steps"]}',
+                f'+task.steps={eval_steps}',
                 '+task.fit_block_size=10',
             ],
             eval_wd,
@@ -218,10 +268,14 @@ def main():
         per_state = read_per_state_energies(eval_wd)
         energy, err = per_state[0]
         dev_mha = (energy - cfg['reference']) * 1e3
-        steps_note = next(
-            (ov.split('=')[1] for ov in cfg['overrides']
-             if ov.split('=')[0].endswith('task.steps')),
-            '?',
+        steps_note = (
+            str(args.resume_to)
+            if args.resume_to is not None
+            else next(
+                (ov.split('=')[1] for ov in cfg['overrides']
+                 if ov.split('=')[0].endswith('task.steps')),
+                '?',
+            )
         )
         row = {
             'config': name,

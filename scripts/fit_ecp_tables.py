@@ -204,7 +204,9 @@ def run(sym, ecp_type, init_params, write=True, label='refit', tether=0.03):
     out.write_text(json.dumps(evidence, indent=1))
     print(f'wrote {out}')
     if write:
-        path = Path('deepqmc_tpu/ecp/tables') / f'{sym}.{ecp_type}.gamess'
+        # refits land in the OPT-IN directory, never over the published
+        # defaults (advisor round 2: keep published provenance the default)
+        path = Path('deepqmc_tpu/ecp/tables/refit') / f'{sym}.{ecp_type}.gamess'
         note = (
             f'IN-HOUSE LDA-REFIT table (not the published {ecp_type} file).\n'
             'Gaussian parameters re-optimized against all-electron\n'

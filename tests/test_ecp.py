@@ -206,20 +206,22 @@ def test_packaged_lih_tables_against_reference_goldens(ecp_type):
         jax.config.update('jax_threefry_partitionable', old)
 
 
-def test_sc_table_loads_cleanly_and_matches_ae_valence(caplog):
-    """ScO + ccECP builds from the in-house-refit Sc table, warning-free.
+def test_sc_table_loads_with_refit_disclosure_and_matches_ae_valence(caplog):
+    """ScO + ccECP builds from the in-house-refit Sc table, WITH disclosure.
 
-    The table is an in-house LDA-refit (tables/README.md): unlike the former
-    provisional placeholder it needs no runtime warning because its valence
-    physics is verified against the in-repo all-electron oracle — spot-check
-    the 3d eigenvalue here (full evidence: docs/evidence/ecp_fit_Sc_refit.json).
+    The Sc table is an in-house LDA-refit (tables/README.md): its valence
+    physics is verified against the in-repo all-electron oracle (spot-check
+    the 3d eigenvalue here; full evidence docs/evidence/ecp_fit_Sc_refit.json),
+    but it is NOT the published ccECP file, so loading it must emit a runtime
+    warning saying so (a user must not silently label results 'ccECP').
     """
     import logging
 
-    from deepqmc_tpu.ecp.data import _REGISTRY, get_ecp_params
+    from deepqmc_tpu.ecp.data import _REGISTRY, _SOURCE, get_ecp_params
     from deepqmc_tpu.ecp.radial_atom import solve_atom
 
     _REGISTRY.pop(('ccecp', 21), None)
+    _SOURCE.pop(('ccecp', 21), None)
     with caplog.at_level(logging.WARNING, logger='deepqmc_tpu.ecp.data'):
         h = MolecularHamiltonian(mol=Molecule.from_name('ScO'), ecp_type='ccECP')
     # Ne-core Sc (Z_eff 11) + ccECP O (Z_eff 6)
@@ -228,7 +230,9 @@ def test_sc_table_loads_cleanly_and_matches_ae_valence(caplog):
     assert np.isfinite(
         np.asarray(jax.vmap(h.potential.local_potential)(pc))
     ).all()
-    assert not any('PROVISIONAL' in r.message for r in caplog.records)
+    assert any(
+        'IN-HOUSE' in r.message and 'Sc' in r.message for r in caplog.records
+    ), 'in-house refit table must disclose itself at load time'
 
     grid = {'rmin': 1e-6, 'n_grid': 1500}
     ae = solve_atom(21, {0: [2, 2, 2, 2], 1: [6, 6], 2: [1]}, **grid)
@@ -245,3 +249,76 @@ def test_unpackaged_element_raises():
     with pytest.raises(ValueError, match='No .* ECP parameters'):
         # no bfd table for Sc is packaged, not even provisionally
         MolecularHamiltonian(mol=Molecule.from_name('ScO'), ecp_type='bfd')
+
+
+def _reset_key(ecp_type, z):
+    from deepqmc_tpu.ecp.data import _LOADED_DIRS, _REGISTRY, _SOURCE
+
+    _REGISTRY.pop((ecp_type.lower(), z), None)
+    _SOURCE.pop((ecp_type.lower(), z), None)
+    _LOADED_DIRS.clear()
+
+
+def test_published_n_table_is_default():
+    """The packaged N ccECP table is the published file (s-projector exponent
+    9.78499, local identity 46.17505 = 5 * 9.23501), not the in-house refit."""
+    from deepqmc_tpu.ecp.data import get_ecp_params
+
+    _reset_key('ccECP', 7)
+    n_core, local, nonlocal_ = get_ecp_params('ccECP', 7)
+    assert n_core == 2
+    assert local[0][0][0] == pytest.approx(9.23501)
+    assert local[2][0][1] == pytest.approx(5 * 9.23501)
+    assert nonlocal_[0][0][0] == pytest.approx(9.78499)
+    _reset_key('ccECP', 7)
+
+
+def test_refit_n_table_is_opt_in(monkeypatch):
+    from deepqmc_tpu.ecp.data import get_ecp_params
+
+    _reset_key('ccECP', 7)
+    monkeypatch.setenv('DEEPQMC_TPU_ECP_USE_REFIT', 'N')
+    n_core, local, nonlocal_ = get_ecp_params('ccECP', 7)
+    assert n_core == 2
+    assert nonlocal_[0][0][0] == pytest.approx(11.07130538)
+    _reset_key('ccECP', 7)
+
+
+def test_ecp_dir_overrides_packaged_table(monkeypatch, tmp_path):
+    """A published-file directory via DEEPQMC_TPU_ECP_DIR must win over ANY
+    packaged table, including ones already registered (ADVICE round 2)."""
+    from deepqmc_tpu.ecp.data import get_ecp_params
+
+    _reset_key('ccECP', 21)
+    # register the packaged (in-house refit) Sc first, as a prior call would
+    packaged = get_ecp_params('ccECP', 21)
+    assert packaged[0] == 10
+    (tmp_path / 'Sc.ccECP.gamess').write_text(
+        'Sc-ECP GEN 10 2\n'
+        '1\n'
+        '11.00000000 1 8.50000000\n'
+        '1\n'
+        '100.00000000 2 10.00000000\n'
+        '1\n'
+        '50.00000000 2 9.00000000\n'
+    )
+    monkeypatch.setenv('DEEPQMC_TPU_ECP_DIR', str(tmp_path))
+    n_core, local, nonlocal_ = get_ecp_params('ccECP', 21)
+    assert n_core == 10
+    assert local[0][0][0] == pytest.approx(8.5), 'env-dir table must override'
+    assert nonlocal_[0][0][0] == pytest.approx(10.0)
+    _reset_key('ccECP', 21)
+
+
+def test_programmatic_registration_wins_over_dir(monkeypatch, tmp_path):
+    from deepqmc_tpu.ecp.data import get_ecp_params
+
+    _reset_key('ccECP', 3)
+    (tmp_path / 'Li.ccECP.gamess').write_text(
+        'Li-ECP GEN 2 0\n1\n1.00000000 1 2.00000000\n'
+    )
+    monkeypatch.setenv('DEEPQMC_TPU_ECP_DIR', str(tmp_path))
+    register_ecp_params('ccECP', 3, 2, LI_LOCAL, LI_NONLOCAL)
+    n_core, local, _ = get_ecp_params('ccECP', 3)
+    assert local[0][0][0] == pytest.approx(3.5), 'user registration must win'
+    _reset_key('ccECP', 3)

@@ -53,7 +53,11 @@ def register_ecp_params(
     Programmatic registration takes precedence over any file-loaded table.
     """
     key = (ecp_type.lower(), int(z))
-    if _SOURCE_RANK[_source] < _SOURCE_RANK.get(_SOURCE.get(key, ''), -1):
+    # a stale _SOURCE entry for a key that was popped from the registry
+    # (tests do this) must not block re-registration
+    if key in _REGISTRY and _SOURCE_RANK[_source] < _SOURCE_RANK.get(
+        _SOURCE.get(key, ''), -1
+    ):
         return
     _REGISTRY[key] = (n_core, local, nonlocal_)
     _SOURCE[key] = _source
@@ -128,7 +132,9 @@ def _register_table_file(f: Path, ecp_type: str, source: str):
     if not z:
         return
     key = (ecp_type.lower(), z)
-    already = _SOURCE_RANK.get(_SOURCE.get(key, ''), -1) >= _SOURCE_RANK[source]
+    already = key in _REGISTRY and (
+        _SOURCE_RANK.get(_SOURCE.get(key, ''), -1) >= _SOURCE_RANK[source]
+    )
     if not already and 'IN-HOUSE' in text:
         log.warning(
             f'The packaged {ecp_type} ECP table for {sym} is an IN-HOUSE '

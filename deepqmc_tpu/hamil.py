@@ -132,77 +132,110 @@ class MolecularHamiltonian:
     def init_single_sample(
         self, rng: KeyArray, R: jax.Array, elec_std: Optional[float]
     ) -> PhysicalConfiguration:
-        rng_remainder, rng_normal, rng_spin = jax.random.split(rng, 3)
+        """One walker: nucleus-seat assignment, then Gaussian clouds.
+
+        The statistical behavior (seat counts, spin alternation, RNG draw
+        order) reproduces the reference heuristic (hamil.py:182-262) — pinned
+        bitwise by tests/test_reference_parity.py — but is organized as three
+        closed steps: integer seats per nucleus, per-atom spin split, and the
+        seat -> electron scatter via searchsorted.
+        """
+        rng_seat, rng_cloud, rng_spin = jax.random.split(rng, 3)
+        seats = self._seat_electrons(rng_seat)
+        up, down = self.distribute_spins(rng_spin, R, seats)
+        # seat counts -> per-electron nucleus index: electron i of a spin
+        # channel sits at the first nucleus whose cumulative seat count
+        # exceeds i (searchsorted-right over the cumsum staircase)
+        nuc_idx = jnp.concatenate(
+            [
+                jnp.searchsorted(
+                    jnp.cumsum(counts), jnp.arange(n), side='right'
+                )
+                for counts, n in ((up, self.n_up), (down, self.n_down))
+            ]
+        )
+        width = (elec_std or self.elec_std) * jnp.sqrt(self.mol.charges)[nuc_idx]
+        r = R[nuc_idx] + width[:, None] * jax.random.normal(
+            rng_cloud, (len(nuc_idx), 3)
+        )
+        return PhysicalConfiguration(R, r, jnp.array(0))
+
+    def _seat_electrons(self, rng: KeyArray) -> jax.Array:
+        """Integer electron count per nucleus.
+
+        Start from the floor of the charge-adjusted valence and hand out the
+        fractional remainder one electron at a time, sampled toward the atoms
+        with the largest deficit (categorical over valence - count logits).
+        """
         valence = self.ns_valence - self.mol.charge / self.n_nuc
-        elec_of_atom = jnp.floor(valence).astype(jnp.int32)
         n_elec = self.n_up + self.n_down
 
-        # distribute leftover electrons to the atoms most lacking them
-        def missing(carry):
-            _, counts = carry
-            return counts.sum() < n_elec
-
-        def add_one(carry):
+        def hand_out_one(carry):
             rng, counts = carry
-            rng, rng_cat = jax.random.split(rng)
-            atom = jax.random.categorical(rng_cat, valence - counts, shape=())
+            rng, rng_draw = jax.random.split(rng)
+            atom = jax.random.categorical(rng_draw, valence - counts, shape=())
             return rng, counts.at[atom].add(1)
 
-        _, elec_of_atom = jax.lax.while_loop(
-            missing, add_one, (rng_remainder, elec_of_atom)
+        _, seats = jax.lax.while_loop(
+            lambda c: c[1].sum() < n_elec,
+            hand_out_one,
+            (rng, jnp.floor(valence).astype(jnp.int32)),
         )
-
-        up, down = self.distribute_spins(rng_spin, R, elec_of_atom)
-        # per-electron nucleus indices from per-atom counts
-        up_idx = (jnp.cumsum(up)[:, None] <= jnp.arange(self.n_up)).sum(axis=0)
-        down_idx = (jnp.cumsum(down)[:, None] <= jnp.arange(self.n_down)).sum(axis=0)
-        idxs = jnp.concatenate([up_idx, down_idx])
-        centers = R[idxs]
-        std = (elec_std or self.elec_std) * jnp.sqrt(self.mol.charges)[idxs][..., None]
-        r = centers + std * jax.random.normal(rng_normal, centers.shape)
-        return PhysicalConfiguration(R, r, jnp.array(0))
+        return seats
 
     def distribute_spins(
         self, rng: KeyArray, R: jax.Array, elec_of_atom: jax.Array
     ) -> tuple[jax.Array, jax.Array]:
-        """Assign per-atom up/down electron counts (reference hamil.py:215-262)."""
-        up, down = jnp.zeros_like(elec_of_atom), jnp.zeros_like(elec_of_atom)
+        """Per-atom (up, down) seat counts from total seats per atom.
 
-        # pair up electrons evenly across atoms first
-        def pair_cond(carry):
-            i, *_ = carry
-            return i < jnp.max(elec_of_atom)
+        Two phases, both expressed as fixed-length masked scans (statically
+        bounded by the electron count, so they stay shape-stable under jit):
 
-        def pair_body(carry):
-            i, up, down = carry
-            mask = elec_of_atom >= 2 * (i + 1)
-            inc = jnp.where(mask & (mask.sum() + down.sum() <= self.n_down), 1, 0)
-            return i + 1, up + inc, down + inc
+        1. *pairing* — seat whole up/down pairs level by level (level i
+           pairs every atom holding >= 2(i+1) electrons), skipping levels
+           that would overshoot the global down-spin budget;
+        2. *bond walk* — seat the leftover unpaired electrons one at a time
+           with alternating spin, hopping from the current atom to its
+           nearest neighbor that still has open seats, which clusters
+           opposite spins on bonded atom pairs.
+        """
+        n_elec = self.n_up + self.n_down
 
-        _, up, down = jax.lax.while_loop(pair_cond, pair_body, (0, up, down))
+        # phase 1: level i exists iff some atom still has a 2(i+1)-th seat;
+        # a level is skipped when seating it would exceed the down budget
+        levels = 2 * (1 + jnp.arange(n_elec // 2 + 1))
+        level_masks = elec_of_atom[None, :] >= levels[:, None]
 
-        # place remaining electrons so that opposite spins sit on neighboring
-        # atoms, mimicking covalent bonds
+        def seat_level(n_down_so_far, mask):
+            fits = mask.sum() + n_down_so_far <= self.n_down
+            inc = jnp.where(mask & fits, 1, 0)
+            return n_down_so_far + inc.sum(), inc
+
+        _, incs = jax.lax.scan(seat_level, jnp.array(0), level_masks)
+        pairs = incs.sum(axis=0)
+        up = down = pairs
+
+        # phase 2: walk the nearest-neighbor graph placing leftovers
         dists = pairwise_distance(R, R).at[jnp.diag_indices(len(R))].set(jnp.inf)
         neighbor_order = jnp.argsort(dists)
+        start = argmax_random_choice(rng, elec_of_atom - up - down)
 
-        def rest_cond(carry):
-            _, _, up, down = carry
-            return (up + down < elec_of_atom).any()
+        def place_leftover(carry, parity):
+            site, up, down = carry
+            open_seats = elec_of_atom - up - down
+            active = (open_seats > 0).any()
+            spin_down = parity & (down.sum() < self.n_down) & active
+            up = up.at[site].add(jnp.where(active, 1 - spin_down, 0))
+            down = down.at[site].add(jnp.where(active, spin_down, 0))
+            by_proximity = neighbor_order[site]
+            still_open = (elec_of_atom - up - down)[by_proximity] > 0
+            site = jnp.where(
+                active, by_proximity[jnp.argmax(still_open)], site
+            )
+            return (site, up, down), None
 
-        def rest_body(carry):
-            i, center, up, down = carry
-            is_down = (i % 2) & (down.sum() < self.n_down)
-            up = up.at[center].add(1 - is_down)
-            down = down.at[center].add(is_down)
-            ordering = neighbor_order[center]
-            has_remainder = (elec_of_atom - up - down)[ordering] > 0
-            center = ordering[jnp.argmax(has_remainder)]
-            return i + 1, center, up, down
-
-        center = argmax_random_choice(rng, elec_of_atom - up - down)
-        *_, up, down = jax.lax.while_loop(
-            rest_cond, rest_body, (jnp.array(0), center, up, down)
+        (_, up, down), _ = jax.lax.scan(
+            place_leftover, (start, up, down), jnp.arange(n_elec) % 2
         )
         return up, down
 

@@ -392,6 +392,47 @@ def _use_pallas() -> bool:
     return jax.devices()[0].platform != 'cpu'
 
 
+def _jac_store_dtype():
+    """Storage dtype for Jacobian intermediates (None = keep compute dtype).
+
+    ``DEEPQMC_TPU_JAC_DTYPE=bf16`` stores every Jacobian intermediate in
+    bfloat16 between ops, halving the dominant HBM traffic of the local
+    energy (the [3N, ...] jac channel is ~30x the forward activations —
+    docs/PERF.md).  All rule MATH stays in the compute dtype: non-kernel
+    rules upcast on entry, and the Pallas kernels take bf16 operands and
+    upcast after the VMEM load.  The Laplacian and primal channels are
+    never downcast.  Opt-in: bf16 jac shifts local energies at the ~0.1%
+    level per op roundtrip, so it must be validated against a convergence
+    A/B (scripts/ab_lih_convergence.py) before production use.
+    """
+    import os
+
+    name = os.environ.get('DEEPQMC_TPU_JAC_DTYPE', '').lower()
+    if name in ('bf16', 'bfloat16'):
+        return jnp.bfloat16
+    return None
+
+
+def _upcast_fl(val):
+    """Return ``val`` with its jac channel in the compute (primal) dtype."""
+    if isinstance(val, FLRowBlocks):
+        ct = jnp.result_type(val.x)
+        if any(b.dtype != ct for b in val.jac_blocks):
+            return FLRowBlocks(
+                val.x, tuple(b.astype(ct) for b in val.jac_blocks), val.lap
+            )
+        return val
+    if (
+        isinstance(val, FL)
+        and val.jac is not None
+        and hasattr(val.jac, 'dtype')
+        and jnp.issubdtype(val.jac.dtype, jnp.floating)
+        and val.jac.dtype != jnp.result_type(val.x)
+    ):
+        return FL(val.x, val.jac.astype(jnp.result_type(val.x)), val.lap)
+    return val
+
+
 def _use_block_kernel() -> bool:
     import os
 
@@ -416,6 +457,7 @@ def _try_block_rule(eqn, invals, n):
     """
     from .ops.fl_block import Unsupported, block_fl_call, block_jaxpr_supported
 
+    invals = [_upcast_fl(v) for v in invals]
     closed = eqn.params['jaxpr']
     var_mask = [v.jac is not None for v in invals]
     if sum(var_mask) != 1 or len(closed.jaxpr.outvars) != 1:
@@ -492,6 +534,276 @@ def _mha_core_flat_rule(invals, n, num_heads):
             lt.reshape(tok, dm),
         )
     ]
+
+
+# --- closed-form structural rules -------------------------------------------
+# For purely shape-structural linear primitives the Jacobian rule is the SAME
+# primitive with its dimension parameters shifted by the leading direction
+# axis, and the Laplacian rule is the primitive unchanged.  Binding these
+# directly instead of going through vmap-of-jvp (_linear_rule) (a) cuts the
+# Python trace time of the big training-step jaxpr (the round-2 "~6 min warm
+# startup is trace, not compile" finding) and (b) emits exactly one op per
+# derivative channel, giving XLA maximal freedom to fuse the [3N, ...]
+# Jacobian traffic into neighbors.
+
+
+def _shift(dims):
+    return (0, *(d + 1 for d in dims))
+
+
+def _reshape_rule(eqn, invals, n):
+    (v,) = invals
+    p = eqn.params
+    dims = p['dimensions']
+    y = lax.reshape(v.x, p['new_sizes'], dims)
+    jac = lax.reshape(
+        v.jac, (n, *p['new_sizes']), None if dims is None else _shift(dims)
+    )
+    lap = lax.reshape(_lap_of(v), p['new_sizes'], dims)
+    return [FL(y, jac, lap)]
+
+
+def _transpose_rule(eqn, invals, n):
+    (v,) = invals
+    perm = eqn.params['permutation']
+    return [
+        FL(
+            lax.transpose(v.x, perm),
+            lax.transpose(v.jac, _shift(perm)),
+            lax.transpose(_lap_of(v), perm),
+        )
+    ]
+
+
+def _broadcast_in_dim_rule(eqn, invals, n):
+    (v,) = invals
+    p = eqn.params
+    shape, bdims = p['shape'], p['broadcast_dimensions']
+    return [
+        FL(
+            lax.broadcast_in_dim(v.x, shape, bdims),
+            lax.broadcast_in_dim(v.jac, (n, *shape), _shift(bdims)),
+            lax.broadcast_in_dim(_lap_of(v), shape, bdims),
+        )
+    ]
+
+
+def _squeeze_rule(eqn, invals, n):
+    (v,) = invals
+    dims = eqn.params['dimensions']
+    return [
+        FL(
+            lax.squeeze(v.x, dims),
+            lax.squeeze(v.jac, tuple(d + 1 for d in dims)),
+            lax.squeeze(_lap_of(v), dims),
+        )
+    ]
+
+
+def _slice_rule(eqn, invals, n):
+    (v,) = invals
+    p = eqn.params
+    starts, limits, strides = (
+        p['start_indices'],
+        p['limit_indices'],
+        p['strides'],
+    )
+    return [
+        FL(
+            lax.slice(v.x, starts, limits, strides),
+            lax.slice(
+                v.jac,
+                (0, *starts),
+                (n, *limits),
+                None if strides is None else (1, *strides),
+            ),
+            lax.slice(_lap_of(v), starts, limits, strides),
+        )
+    ]
+
+
+def _rev_rule(eqn, invals, n):
+    (v,) = invals
+    dims = eqn.params['dimensions']
+    return [
+        FL(
+            lax.rev(v.x, dims),
+            lax.rev(v.jac, tuple(d + 1 for d in dims)),
+            lax.rev(_lap_of(v), dims),
+        )
+    ]
+
+
+def _reduce_sum_rule(eqn, invals, n):
+    (v,) = invals
+    prim, p = eqn.primitive, dict(eqn.params)
+    jp = dict(p, axes=tuple(d + 1 for d in p['axes']))
+    return [
+        FL(
+            prim.bind(v.x, **p),
+            prim.bind(v.jac, **jp),
+            prim.bind(_lap_of(v), **p),
+        )
+    ]
+
+
+def _cumsum_rule(eqn, invals, n):
+    (v,) = invals
+    prim, p = eqn.primitive, dict(eqn.params)
+    jp = dict(p, axis=p['axis'] + 1)
+    return [
+        FL(
+            prim.bind(v.x, **p),
+            prim.bind(v.jac, **jp),
+            prim.bind(_lap_of(v), **p),
+        )
+    ]
+
+
+def _concatenate_rule(eqn, invals, n):
+    d = eqn.params['dimension']
+    return [
+        FL(
+            lax.concatenate([v.x for v in invals], d),
+            lax.concatenate([_jac_of(v, n) for v in invals], d + 1),
+            lax.concatenate([_lap_of(v) for v in invals], d),
+        )
+    ]
+
+
+def _split_rule(eqn, invals, n):
+    (v,) = invals
+    prim, p = eqn.primitive, dict(eqn.params)
+    jp = dict(p, axis=p['axis'] + 1)
+    ys = prim.bind(v.x, **p)
+    jacs = prim.bind(v.jac, **jp)
+    laps = prim.bind(_lap_of(v), **p)
+    return [FL(y, j, l) for y, j, l in zip(ys, jacs, laps)]
+
+
+def _pad_rule(eqn, invals, n):
+    v, pv = invals
+    if pv.jac is not None:  # varying padding value: exact generic path
+        return _linear_rule(eqn, invals, n)
+    cfg = eqn.params['padding_config']
+    zero = jnp.zeros((), jnp.result_type(v.x))
+    return [
+        FL(
+            lax.pad(v.x, pv.x, cfg),
+            lax.pad(v.jac, zero, ((0, 0, 0), *cfg)),
+            lax.pad(_lap_of(v), zero, cfg),
+        )
+    ]
+
+
+def _dynamic_slice_rule(eqn, invals, n):
+    v, *idxs = invals
+    sizes = eqn.params['slice_sizes']
+    starts = [i.x for i in idxs]
+    zero = jnp.zeros((), jnp.result_type(starts[0]) if starts else jnp.int32)
+    return [
+        FL(
+            lax.dynamic_slice(v.x, starts, sizes),
+            lax.dynamic_slice(v.jac, [zero, *starts], (n, *sizes)),
+            lax.dynamic_slice(_lap_of(v), starts, sizes),
+        )
+    ]
+
+
+def _dynamic_update_slice_rule(eqn, invals, n):
+    v, u, *idxs = invals
+    starts = [i.x for i in idxs]
+    zero = jnp.zeros((), jnp.result_type(starts[0]) if starts else jnp.int32)
+    return [
+        FL(
+            lax.dynamic_update_slice(v.x, u.x, starts),
+            lax.dynamic_update_slice(
+                _jac_of(v, n), _jac_of(u, n), [zero, *starts]
+            ),
+            lax.dynamic_update_slice(_lap_of(v), _lap_of(u), starts),
+        )
+    ]
+
+
+def _neg_rule(eqn, invals, n):
+    (v,) = invals
+    return [FL(-v.x, -v.jac, -_lap_of(v))]
+
+
+def _add_sub_rule(eqn, invals, n):
+    a, b = invals
+    sub = eqn.primitive.name == 'sub'
+    y = a.x - b.x if sub else a.x + b.x
+    if a.jac is not None and b.jac is not None:
+        ja, jb = _bjac(a, y.shape), _bjac(b, y.shape)
+        jac = ja - jb if sub else ja + jb
+        la, lb = _lap_of(a), _lap_of(b)
+        lap = la - lb if sub else la + lb
+        lap = jnp.broadcast_to(lap, y.shape)
+    elif a.jac is not None:
+        jac = _bjac(a, y.shape)
+        lap = jnp.broadcast_to(_lap_of(a), y.shape)
+    else:
+        jac = -_bjac(b, y.shape) if sub else _bjac(b, y.shape)
+        lap = jnp.broadcast_to(
+            -_lap_of(b) if sub else _lap_of(b), y.shape
+        )
+    return [FL(y, jac, lap)]
+
+
+def _select_n_rule(eqn, invals, n):
+    pred, *cases = invals
+    if pred.jac is not None:  # differentiable predicate never happens, but
+        return _linear_rule(eqn, invals, n)
+    y = lax.select_n(pred.x, *[c.x for c in cases])
+    pred_j = jnp.broadcast_to(pred.x, (n, *jnp.shape(pred.x)))
+    jac = lax.select_n(pred_j, *[_jac_of(c, n) for c in cases])
+    lap = lax.select_n(pred.x, *[_lap_of(c) for c in cases])
+    return [FL(y, jac, lap)]
+
+
+def _convert_element_type_rule(eqn, invals, n):
+    (v,) = invals
+    dt = eqn.params['new_dtype']
+    y = lax.convert_element_type(v.x, dt)
+    if not jnp.issubdtype(dt, jnp.inexact):
+        return [_const(y)]
+    return [
+        FL(
+            y,
+            lax.convert_element_type(v.jac, dt),
+            lax.convert_element_type(_lap_of(v), dt),
+        )
+    ]
+
+
+def _copy_rule(eqn, invals, n):
+    (v,) = invals
+    return [v]
+
+
+STRUCTURAL_RULES = {
+    'reshape': _reshape_rule,
+    'transpose': _transpose_rule,
+    'broadcast_in_dim': _broadcast_in_dim_rule,
+    'squeeze': _squeeze_rule,
+    'slice': _slice_rule,
+    'rev': _rev_rule,
+    'reduce_sum': _reduce_sum_rule,
+    'cumsum': _cumsum_rule,
+    'concatenate': _concatenate_rule,
+    'split': _split_rule,
+    'pad': _pad_rule,
+    'dynamic_slice': _dynamic_slice_rule,
+    'dynamic_update_slice': _dynamic_update_slice_rule,
+    'neg': _neg_rule,
+    'add': _add_sub_rule,
+    'add_any': _add_sub_rule,
+    'sub': _add_sub_rule,
+    'select_n': _select_n_rule,
+    'convert_element_type': _convert_element_type_rule,
+    'copy': _copy_rule,
+}
 
 
 # --- primitive classification ----------------------------------------------
@@ -605,14 +917,37 @@ def _deferred_concat_eqns(jaxpr):
 
 def _interpret(jaxpr, consts, args, n):
     env = {}
+    store_dt = _jac_store_dtype()
 
     def read(atom):
         if isinstance(atom, jex_core.Literal):
             return _const(atom.val)
         return env[atom]
 
+    def _store(val):
+        if isinstance(val, FLRowBlocks):
+            if any(
+                jnp.issubdtype(b.dtype, jnp.floating) and b.dtype != store_dt
+                for b in val.jac_blocks
+            ):
+                return FLRowBlocks(
+                    val.x,
+                    tuple(b.astype(store_dt) for b in val.jac_blocks),
+                    val.lap,
+                )
+            return val
+        if (
+            isinstance(val, FL)
+            and val.jac is not None
+            and hasattr(val.jac, 'dtype')
+            and jnp.issubdtype(val.jac.dtype, jnp.floating)
+            and val.jac.dtype != store_dt
+        ):
+            return FL(val.x, val.jac.astype(store_dt), val.lap)
+        return val
+
     def write(var, val):
-        env[var] = val
+        env[var] = _store(val) if store_dt is not None else val
 
     for var, const in zip(jaxpr.constvars, consts):
         write(var, _const(const))
@@ -635,8 +970,13 @@ def _interpret(jaxpr, consts, args, n):
             outs = outs if prim.multiple_results else [outs]
             outs = [_const(o) for o in outs]
         elif prim in RULES:
+            # kernel-backed rules (slogdet variants): bf16-store aware — the
+            # Pallas kernels take bf16 jac operands and upcast in VMEM; the
+            # jnp fallbacks promote via einsum
             outs = RULES[prim](eqn, invals, n)
         elif prim.name in RULES:
+            if store_dt is not None:
+                invals = [_upcast_fl(v) for v in invals]
             outs = RULES[prim.name](eqn, invals, n)
         elif prim.name in SUBJAXPR_NAMES:
             sub_name = eqn.params.get('name') or ''
@@ -662,15 +1002,18 @@ def _interpret(jaxpr, consts, args, n):
                 outs = _interpret(
                     sub_jaxpr, [*map(jnp.asarray, sub_consts)], invals, n
                 )
-        elif prim.name in PIECEWISE_LINEAR_NAMES:
-            outs = _linear_rule(eqn, invals, n)
         elif prim.name in NONDIFF_NAMES:
             outs = _nondiff_rule(eqn, invals, n)
-        elif prim.name in ELEMENTWISE:
-            outs = _elementwise_rule(prim.name)(eqn, invals, n)
         else:
-            log.debug('fwdlap: generic rule for primitive %s', prim.name)
-            outs = _generic_rule(eqn, invals, n)
+            if store_dt is not None:
+                invals = [_upcast_fl(v) for v in invals]
+            if prim.name in PIECEWISE_LINEAR_NAMES:
+                outs = _linear_rule(eqn, invals, n)
+            elif prim.name in ELEMENTWISE:
+                outs = _elementwise_rule(prim.name)(eqn, invals, n)
+            else:
+                log.debug('fwdlap: generic rule for primitive %s', prim.name)
+                outs = _generic_rule(eqn, invals, n)
         if not isinstance(outs, (list, tuple)):
             outs = [outs]
         for var, out in zip(eqn.outvars, outs):
@@ -689,6 +1032,7 @@ RULES[slogdet_p] = _slogdet_rule
 RULES[slogdet_flat_p] = _slogdet_flat_rule
 for _name in ELEMENTWISE:
     RULES[_name] = _elementwise_rule(_name)
+RULES.update(STRUCTURAL_RULES)
 
 
 def forward_laplacian(f):
@@ -706,6 +1050,7 @@ def forward_laplacian(f):
         outs = _interpret(closed.jaxpr, closed.consts, args, n)
         (out,) = outs
         assert jnp.shape(out.x) == (), 'forward_laplacian expects a scalar fn'
+        out = _upcast_fl(out)  # bf16-stored jac -> compute dtype
         return out.lap, out.jac
 
     return lap

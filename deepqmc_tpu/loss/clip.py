@@ -1,8 +1,16 @@
-"""Outlier clipping of local energies and wave-function ratios.
+"""Robust-statistics guards for the VMC gradient estimator.
 
-Reference: /root/reference/src/deepqmc/loss/clip.py.  The cross-device
-median/quantile statistics are plain reductions over the globally-sharded
-walker axis here (XLA gathers over ICI as needed).
+Local energies develop fat tails near wave-function nodes, so the gradient
+estimator recentres every electron batch on a robust location statistic and
+compresses (or cuts) the residuals at a data-derived scale before they enter
+the loss difference.  All statistics are computed over the GLOBAL walker
+population: the reductions run on the sharded walker axis and XLA inserts
+the ICI collectives (parallel.all_device_*), where the reference reduces
+per-device batches under pmap (reference loss/clip.py).
+
+Every clip function returns ``(transformed_x, gradient_mask)``; the mask
+drops walkers whose residual exceeds ``exclude_width`` scales from the
+gradient entirely (off by default: infinite width keeps everything).
 """
 
 from typing import Protocol, Union
@@ -39,20 +47,33 @@ def clip_psi_ratio(clip_mask_fn, psi_ratio: jax.Array):
     return jax.vmap(jax.vmap(jax.vmap(clip_mask_fn)))(psi_ratio)
 
 
+def _recentre(x, robust: bool):
+    """Residuals around a global location statistic.
+
+    ``robust=True`` centres on the median, else on the mean; returns the
+    centre, the residuals, and their absolute values (the input to every
+    scale statistic below).
+    """
+    loc = all_device_median(x) if robust else all_device_mean(x)
+    resid = x - loc
+    return loc, resid, jnp.abs(resid)
+
+
 def median_clip_and_mask(
     x: jax.Array,
     clip_width: float,
     median_center: bool,
     exclude_width: float = jnp.inf,
 ) -> tuple[jax.Array, jax.Array]:
-    """FermiNet/PsiFormer-style hard clip at ``clip_width`` mean-absolute
-    deviations around the median (or mean)."""
-    center = all_device_median(x) if median_center else all_device_mean(x)
-    abs_diff = jnp.abs(x - center)
-    mad = all_device_mean(abs_diff)
-    x_clip = jnp.clip(x, center - clip_width * mad, center + clip_width * mad)
-    gradient_mask = abs_diff < exclude_width
-    return x_clip, gradient_mask
+    """Hard clip at ``clip_width`` mean-absolute-deviations.
+
+    The FermiNet/PsiFormer recipe: scale = MAD (mean of |residual|), and the
+    residual is clamped to the (+/-) ``clip_width * MAD`` window around the
+    centre.  ``median_center`` picks median vs mean recentring.
+    """
+    loc, resid, absr = _recentre(x, robust=median_center)
+    window = clip_width * all_device_mean(absr)
+    return loc + jnp.clip(resid, -window, window), absr < exclude_width
 
 
 def median_log_squeeze_and_mask(
@@ -61,15 +82,18 @@ def median_log_squeeze_and_mask(
     quantile: Union[float, jax.Array] = 0.95,
     exclude_width: float = jnp.inf,
 ) -> tuple[jax.Array, jax.Array]:
-    """Default soft clip: log-squeeze deviations beyond a quantile width."""
-    x_median = all_device_median(x)
-    x_diff = x - x_median
-    x_abs_diff = jnp.abs(x_diff)
-    q = all_device_quantile(x_abs_diff, quantile)
-    width = clip_width * q
-    x_clip = x_median + 2 * width * log_squeeze(x_diff / (2 * width))
-    gradient_mask = x_abs_diff / q < exclude_width
-    return x_clip, gradient_mask
+    """Default soft clip: logarithmic squeeze beyond a quantile scale.
+
+    The scale is the ``quantile``-th quantile of |residual| (a 95% envelope
+    by default); residuals are passed through the identity near zero and
+    compressed logarithmically past ``2 * clip_width`` scales, so no walker
+    is ever discarded outright, only de-weighted.
+    """
+    _, resid, absr = _recentre(x, robust=True)
+    scale = all_device_quantile(absr, quantile)
+    halfwidth = 2 * clip_width * scale
+    squeezed = halfwidth * log_squeeze(resid / halfwidth)
+    return x - resid + squeezed, absr / scale < exclude_width
 
 
 def psi_ratio_clip_and_mask(
@@ -78,12 +102,10 @@ def psi_ratio_clip_and_mask(
     clip_width: float = 10.0,
     exclude_width: float = jnp.inf,
 ) -> tuple[jax.Array, jax.Array]:
-    """Hard clip of WF ratios at ``clip_width`` median-absolute deviations."""
-    center = all_device_median(psi_ratio)
-    deviation = jnp.abs(psi_ratio - center)
-    sigma = all_device_median(deviation)
-    clipped = jnp.clip(
-        psi_ratio, center - clip_width * sigma, center + clip_width * sigma
-    )
-    mask = deviation < exclude_width
-    return clipped, mask
+    """Hard clip of excited-state WF ratios at ``clip_width``
+    median-absolute-deviations (the all-median variant: ratios are far
+    heavier-tailed than local energies, so even the scale uses the median).
+    """
+    loc, resid, absr = _recentre(psi_ratio, robust=True)
+    window = clip_width * all_device_median(absr)
+    return loc + jnp.clip(resid, -window, window), absr < exclude_width

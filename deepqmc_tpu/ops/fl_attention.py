@@ -403,11 +403,18 @@ def _kernel(q_ref, k_ref, v_ref, jq_ref, jk_ref, jv_ref, lq_ref, lk_ref,
     # kernel's peak VMEM at a single head's working set
     W, n, H, dh = q_ref.shape
     K = jq_ref.shape[1]
-    per_head = _head_fn_factory()(W, n, K, dh, q_ref.dtype)
+    ct = q_ref.dtype  # compute dtype; jac operands may arrive bf16-stored
+    # upcast the whole jac block once after the VMEM load: Mosaic's 16-bit
+    # layouts do not support the unit-dim shape casts the per-head slicing
+    # performs, and a single bf16->f32 extend is cheaper than H of them
+    jq = jq_ref[...].astype(ct)
+    jk = jk_ref[...].astype(ct)
+    jv = jv_ref[...].astype(ct)
+    per_head = _head_fn_factory()(W, n, K, dh, ct)
     for h in range(H):
         t, jt, lt = per_head(
             q_ref[:, :, h], k_ref[:, :, h], v_ref[:, :, h],
-            jq_ref[:, :, :, h], jk_ref[:, :, :, h], jv_ref[:, :, :, h],
+            jq[:, :, :, h], jk[:, :, :, h], jv[:, :, :, h],
             lq_ref[:, :, h], lk_ref[:, :, h], lv_ref[:, :, h],
         )
         t_ref[:, :, h, :] = t
@@ -441,6 +448,9 @@ def _pallas_blocked(q, k, v, Jq, Jk, Jv, Lq, Lk, Lv, interpret=False):
 
     out_shape = (
         jax.ShapeDtypeStruct(q.shape, q.dtype),
+        # jac OUTPUT stays in the compute dtype: Mosaic cannot shape-cast
+        # 16-bit stores across the per-head unit dim; the bf16-jac mode
+        # downcasts outside, where XLA fuses the convert into consumers
         jax.ShapeDtypeStruct(Jq.shape, q.dtype),
         jax.ShapeDtypeStruct(q.shape, q.dtype),
     )

@@ -86,7 +86,7 @@ def _kernel(inv_ref, invt_ref, j_ref, l_ref, jout_ref, lout_ref):
     )  # [W, 1]
     # fold K into the leading batch dim (leading-dim reshapes are the only
     # shape casts Mosaic supports; minor-dim merges are not)
-    j_d = j_ref[:, :, 0].reshape(W * K, n, n)
+    j_d = j_ref[:, :, 0].reshape(W * K, n, n).astype(inv_ref.dtype)
     inv_rep = jnp.broadcast_to(inv_d[:, None], (W, K, n, n)).reshape(
         W * K, n, n
     )
@@ -179,8 +179,8 @@ def _split_kernel(
     lout_d = (
         (invt_ref[:, 0] * l_ref[:, 0]).sum(axis=2).sum(axis=1, keepdims=True)
     )  # [W, 1]
-    ju_d = ju_ref[:, :, 0].reshape(W * K, nu, n)
-    jd_d = jd_ref[:, :, 0].reshape(W * K, nd, n)
+    ju_d = ju_ref[:, :, 0].reshape(W * K, nu, n).astype(il_ref.dtype)
+    jd_d = jd_ref[:, :, 0].reshape(W * K, nd, n).astype(il_ref.dtype)
     il_rep = jnp.broadcast_to(il_ref[:, 0][:, None], (W, K, n, nu)).reshape(
         W * K, n, nu
     )
@@ -351,8 +351,10 @@ def _flat_split_kernel(invf_ref, invtf_ref, juk_ref, jdk_ref, jout_ref, trq_ref)
     Kn = juk_ref.shape[3]
     K = Kn // n
 
-    juk = juk_ref[...]
-    jdk = jdk_ref[...]
+    # jac operands may arrive in the bf16 storage dtype; upcast after the
+    # VMEM load so all kernel math runs in the compute dtype
+    juk = juk_ref[...].astype(invf_ref.dtype)
+    jdk = jdk_ref[...].astype(invf_ref.dtype)
     invf = invf_ref[...]
     invtf = invtf_ref[...]
 

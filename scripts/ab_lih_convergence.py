@@ -33,6 +33,15 @@ VARIANTS = {
         'env': {'DEEPQMC_TPU_SAMPLING_PRECISION': 'high'},
         'inv_period': 5,
     },
+    # production defaults + the bf16 Jacobian storage channel (fwdlap.py
+    # DEEPQMC_TPU_JAC_DTYPE) — the convergence gate for that perf lever
+    'jac_bf16': {
+        'env': {
+            'DEEPQMC_TPU_SAMPLING_PRECISION': 'high',
+            'DEEPQMC_TPU_JAC_DTYPE': 'bf16',
+        },
+        'inv_period': 5,
+    },
 }
 
 REFERENCE = -8.07000  # reference doc/tutorial.rst:153

@@ -99,6 +99,34 @@ def test_pallas_kernel_matches_jnp_twin(dtype):
         )
 
 
+def test_pallas_kernel_accepts_bf16_jac_operands():
+    """bf16-stored jac operands upcast in-kernel; output stays compute dtype."""
+    rng = np.random.default_rng(3)
+    n, heads, dh, k = 5, 2, 8, 12
+    prim = [
+        jnp.asarray(rng.normal(size=(n, heads, dh)), jnp.float32)
+        for _ in range(3)
+    ]
+    jacs32 = [
+        jnp.asarray(rng.normal(size=(k, n, heads, dh)), jnp.float32)
+        for _ in range(3)
+    ]
+    laps = [
+        jnp.asarray(rng.normal(size=(n, heads, dh)), jnp.float32)
+        for _ in range(3)
+    ]
+    jacs16 = [j.astype(jnp.bfloat16) for j in jacs32]
+    ref = mha_core_fl(*prim, *(j.astype(jnp.float32) for j in jacs16), *laps)
+    out = _pallas_blocked(
+        *(a[None] for a in (*prim, *jacs16, *laps)), interpret=True
+    )
+    assert out[1].dtype == jnp.float32
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(
+            np.asarray(o[0]), np.asarray(r), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_kron_head_matches_loop_head():
     """The kron/block-diagonal head formulation == the loop formulation."""
     from deepqmc_tpu.ops.fl_attention import _make_head_fn, _make_head_fn_kron

@@ -166,6 +166,34 @@ def test_flat_split_pallas_kernel_matches_twin(batch):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-10)
 
 
+def test_flat_split_pallas_kernel_accepts_bf16_jac():
+    """bf16-stored jac row blocks upcast after the VMEM load."""
+    from deepqmc_tpu.ops.fl_slogdet import (
+        _pallas_blocked_flat_split,
+        slogdet_fl_flat_split,
+    )
+
+    problems = [_random_problem(n_dets=2, n=6, seed=s) for s in range(3)]
+    inputs = [_fl_inputs(x, f) for x, f in problems]
+    a = _flatten_dets(jnp.stack([i[0] for i in inputs])).astype(jnp.float32)
+    ja = _flatten_dets(jnp.stack([i[1] for i in inputs]))
+    la = _flatten_dets(jnp.stack([i[2] for i in inputs])).astype(jnp.float32)
+    ju16 = ja[:, :, :2].astype(jnp.bfloat16)
+    jd16 = ja[:, :, 2:].astype(jnp.bfloat16)
+    got = _pallas_blocked_flat_split(a, ju16, jd16, la, 2, interpret=True)
+    want = jax.vmap(lambda *t: slogdet_fl_flat_split(*t, 2))(
+        a,
+        ju16.astype(jnp.float32),
+        jd16.astype(jnp.float32),
+        la,
+    )
+    assert got[2].dtype == jnp.float32
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-4, atol=2e-4
+        )
+
+
 def test_fwdlap_flat_slogdet_matches_oracle():
     """forward_laplacian through slogdet_flat (concat->flat det path, as the
     ansatz builds it) matches the nested-autodiff oracle."""

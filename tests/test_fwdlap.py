@@ -90,6 +90,47 @@ def test_attention_like(helpers):
     check_against_loop(f, jax.random.normal(helpers.rng(11), (12,)))
 
 
+def test_structural_primitives(helpers):
+    """Closed-form structural rules (pad/rev/split/cumsum/select_n/...)."""
+
+    def f(x):
+        a = jnp.pad(x.reshape(2, 3), ((1, 1), (0, 1)))
+        b = jnp.flip(a, 0) + jnp.cumsum(a, axis=1)
+        lo, hi = jnp.split(b * jnp.tanh(b), 2, axis=0)
+        c = jnp.where(lo > hi, lo**2, hi / (1 + lo**2))
+        d = jax.lax.dynamic_slice(c, (0, 1), (1, 2))
+        e = jax.lax.dynamic_update_slice(c, 2.0 * d, (1, 0))
+        return (e.T @ e).sum() + jnp.concatenate([x, -x]).sum()
+
+    check_against_loop(f, jax.random.normal(helpers.rng(20), (6,)), rtol=1e-6)
+
+
+def test_bf16_jac_storage_close_to_f32(helpers, monkeypatch):
+    """DEEPQMC_TPU_JAC_DTYPE=bf16 stores jac intermediates in bfloat16; the
+    result must track the f32 chain to bf16 roundoff, with lap/grad dtypes
+    unchanged at the boundary."""
+    w1 = jax.random.normal(helpers.rng(21), (6, 16))
+    w2 = jax.random.normal(helpers.rng(22), (16, 1))
+
+    def f(x):
+        h = jnp.tanh(x @ w1)
+        m = (h[:8] * h[8:]).reshape(2, 2, 2) + 4 * jnp.eye(2)
+        sign, logdet = slogdet(m)
+        return logdet.sum() + jnp.tanh(h @ w2).sum()
+
+    x = jax.random.normal(helpers.rng(23), (6,))
+    lap32, grad32 = forward_laplacian(f)(x)
+    monkeypatch.setenv('DEEPQMC_TPU_JAC_DTYPE', 'bf16')
+    lap16, grad16 = forward_laplacian(f)(x)
+    assert grad16.dtype == grad32.dtype and lap16.dtype == lap32.dtype
+    np.testing.assert_allclose(
+        np.asarray(grad16), np.asarray(grad32), rtol=0, atol=5e-2
+    )
+    np.testing.assert_allclose(
+        np.asarray(lap16), np.asarray(lap32), rtol=5e-2, atol=5e-2
+    )
+
+
 @pytest.mark.parametrize('preset', ['default', 'ferminet', 'psiformer'])
 @pytest.mark.heavy
 def test_full_ansatz_laplacian(helpers, preset):

@@ -46,6 +46,15 @@ def main():
     if args.platform:
         jax.config.update('jax_platforms', args.platform)
 
+    t_phase = time.perf_counter()
+
+    def phase(name):
+        """Startup attribution: phase durations to stderr (docs/PERF.md)."""
+        nonlocal t_phase
+        now = time.perf_counter()
+        print(f'[bench-phase] {name}: {now - t_phase:.1f}s', file=sys.stderr)
+        t_phase = now
+
     import deepqmc_tpu as dq
     from deepqmc_tpu.fit import fit_wf
     from deepqmc_tpu.kfac import KFAC
@@ -73,6 +82,7 @@ def main():
         else {}
     )
 
+    phase('imports')
     hamil = dq.MolecularHamiltonian(mol=dq.Molecule.from_name(mol))
     ansatz = instantiate_ansatz(hamil, ansatz_preset(args.ansatz, **preset_kwargs))
     mols = [hamil.mol]
@@ -91,10 +101,13 @@ def main():
             ],
         ),
     )
+    phase('build_hamil_ansatz_sampler')
     params = init_wf_params(jax.random.PRNGKey(1), hamil, ansatz, 1)
+    phase('init_params')
     smpl_state = initialize_sampler_state(
         jax.random.PRNGKey(2), sampler, params, walkers, mols
     )
+    phase('init_sampler_state')
     if args.optimizer == 'kfac':
         opt_factory = partial(
             KFACOptimizer,
@@ -120,6 +133,7 @@ def main():
     # contention, so time MANY blocks and report the MEDIAN per-step time
     # plus the spread — a single mean over 10 steps swings ~25% run to run
     block_ends = [time.perf_counter()]
+    n_blocks_seen = 0
     for step, *_rest in fit_wf(
         jax.random.PRNGKey(3),
         hamil,
@@ -135,6 +149,11 @@ def main():
     ):
         if (step + 1) % block == 0 or step == n_steps + warmup_steps - 1:
             block_ends.append(time.perf_counter())
+            n_blocks_seen += 1
+            if n_blocks_seen <= 2:
+                phase(f'block_{n_blocks_seen}' + (
+                    '_compile' if n_blocks_seen == 1 else '_recompile'
+                ))
     block_ms = 1e3 * np.diff(np.asarray(block_ends))
     # drop compile/recompile blocks when enough timed blocks remain
     if len(block_ms) > 2:

@@ -23,6 +23,15 @@ import jax.numpy as jnp
 VARIANTS = {
     'default': {},
     'no_pallas': {'DEEPQMC_TPU_NO_PALLAS': '1'},
+    # plain loop-head per-op attention at larger walker blocks (round 2 only
+    # measured colform at WB>1): amortizes per-program dispatch/DMA overhead
+    'w4': {'ATTN_WB': 4},
+    'w8': {'ATTN_WB': 8},
+    # bf16 Jacobian storage channel (fwdlap DEEPQMC_TPU_JAC_DTYPE): halves
+    # jac HBM bytes; convergence-gated via scripts/ab_lih_convergence.py
+    'jac_bf16': {'DEEPQMC_TPU_JAC_DTYPE': 'bf16'},
+    'jac_bf16_w4': {'DEEPQMC_TPU_JAC_DTYPE': 'bf16', 'ATTN_WB': 4},
+    'jac_bf16_w8': {'DEEPQMC_TPU_JAC_DTYPE': 'bf16', 'ATTN_WB': 8},
     'colform': {'DEEPQMC_TPU_ATTN_COLFORM': '1'},
     'colform_w4': {'DEEPQMC_TPU_ATTN_COLFORM': '1', 'ATTN_WB': 4},
     'block_loop_w1': {'DEEPQMC_TPU_BLOCK_KERNEL': '1', 'BLOCK_WB': 1},
@@ -67,6 +76,7 @@ FLAG_KEYS = [
     'DEEPQMC_TPU_BLOCK_KERNEL',
     'DEEPQMC_TPU_GNN_STACK_BLOCK',
     'DEEPQMC_TPU_NO_PALLAS',
+    'DEEPQMC_TPU_JAC_DTYPE',
 ]
 
 

@@ -7,50 +7,42 @@ Laplacian operator is pluggable (``laplacian_factory``) and defaults to the
 TPU forward-Laplacian engine at higher layers.
 """
 
-from collections.abc import Callable
+import typing as t
 from functools import partial
-from itertools import count
-from typing import Any, Optional, Protocol
 
 import jax
 import jax.numpy as jnp
 
+from . import physics, types
 from .molecule import Molecule
-from .physics import (
-    NuclearCoulombPotential,
-    electronic_potential,
-    loop_laplacian,
-    nuclear_energy,
-    pairwise_distance,
-)
-from .types import (
-    Energy,
-    KeyArray,
-    ParametrizedWaveFunction,
-    Params,
-    PhysicalConfiguration,
-    Stats,
-)
+from .physics import electronic_potential, nuclear_energy, pairwise_distance
+from .types import KeyArray, Params, PhysicalConfiguration
 from .utils import argmax_random_choice
 
 __all__ = ['MolecularHamiltonian', 'LaplacianFactory']
 
+_LapPair = tuple[jax.Array, jax.Array]
 
-class LaplacianFactory(Protocol):
+
+class LaplacianFactory(t.Protocol):
     """f -> (x -> (lap f(x), grad f(x))) factory (reference hamil.py:32-41)."""
 
     def __call__(
-        self, f: Callable[[jax.Array], jax.Array]
-    ) -> Callable[[jax.Array], tuple[jax.Array, jax.Array]]: ...
+        self, f: t.Callable[[jax.Array], jax.Array]
+    ) -> t.Callable[[jax.Array], _LapPair]: ...
 
 
 def get_shell(z) -> int:
-    """Number of (at least partially) occupied shells for ``z`` electrons."""
-    max_elec = 0
-    for n in count():
-        if z <= max_elec:
-            return n
-        max_elec += 2 * (1 + n) ** 2
+    """Number of (at least partially) occupied shells for ``z`` electrons.
+
+    The first ``n`` shells hold ``sum_k 2 k^2 = n (n+1) (2n+1) / 3``
+    electrons, so the answer is the smallest ``n`` whose capacity covers
+    ``z``.
+    """
+    n = 0
+    while n * (n + 1) * (2 * n + 1) // 3 < z:
+        n += 1
+    return n
 
 
 class MolecularHamiltonian:
@@ -69,53 +61,52 @@ class MolecularHamiltonian:
         self,
         *,
         mol: Molecule,
-        ecp_type: Optional[str] = None,
-        ecp_mask: Optional[list[bool]] = None,
+        ecp_type: t.Optional[str] = None,
+        ecp_mask: t.Optional[list[bool]] = None,
         elec_std: float = 1.0,
-        laplacian_factory: Optional[LaplacianFactory] = None,
+        laplacian_factory: t.Optional[LaplacianFactory] = None,
     ):
         if laplacian_factory is None:
             # TPU-first default: the single-pass forward Laplacian (the
             # reference defaults to 3N nested-autodiff passes, physics.py:104)
-            from .fwdlap import forward_laplacian
-
-            laplacian_factory = forward_laplacian
-        self.mol = mol
-        self.elec_std = elec_std
-        self.ecp_type = ecp_type
-
-        if ecp_type is None:
-            ecp_mask = [False] * len(mol.charges)
-        elif ecp_mask is None:
-            ecp_mask = [bool(z) for z in (mol.charges > 2)]
-        assert len(ecp_mask) == len(mol.charges), 'Incompatible shape of ecp_mask'
-        self.ecp_mask = jnp.asarray(ecp_mask)
-
+            from .fwdlap import forward_laplacian as laplacian_factory
+        self.mol, self.elec_std, self.ecp_type = mol, elec_std, ecp_type
         self.laplacian = laplacian_factory
-        if self.ecp_mask.any():
+
+        charges = mol.charges
+        self.n_nuc = len(charges)
+        if ecp_type is None:
+            mask = jnp.zeros(self.n_nuc, bool)
+        elif ecp_mask is None:
+            mask = charges > 2  # He core and lighter stay all-electron
+        else:
+            assert len(ecp_mask) == self.n_nuc, 'Incompatible shape of ecp_mask'
+            mask = jnp.asarray(ecp_mask, bool)
+        self.ecp_mask = mask
+
+        if mask.any():
             from .ecp.gaussian_type_ecp import GaussianTypeECP
 
-            self.potential = GaussianTypeECP(mol.charges, ecp_type, self.ecp_mask)
+            self.potential = GaussianTypeECP(charges, ecp_type, mask)
         else:
-            self.potential = NuclearCoulombPotential(mol.charges)
+            self.potential = physics.NuclearCoulombPotential(charges)
+        self.ns_valence = self.potential.ns_valence
 
-        n_elec = int(sum(self.potential.ns_valence) - mol.charge)
+        n_elec = int(self.ns_valence.sum()) - mol.charge
         assert not (n_elec + mol.spin) % 2, 'n_elec and spin have different parity'
         assert n_elec > 1, 'The system must contain at least two active electrons.'
-
-        self.n_nuc = len(mol.charges)
-        self.n_up = (n_elec + mol.spin) // 2
-        self.n_down = (n_elec - mol.spin) // 2
-        self.ns_valence = self.potential.ns_valence
-        self.mol_shells = [get_shell(z) for z in self.mol.charges]
+        self.n_up, self.n_down = (
+            (n_elec + s * mol.spin) // 2 for s in (+1, -1)
+        )
+        self.mol_shells = [get_shell(z) for z in charges]
         self.mol_ecp_shells = [
-            get_shell(z + 1) - 1 for z in self.mol.charges - self.ns_valence
+            get_shell(core + 1) - 1 for core in charges - self.ns_valence
         ]
 
     # --- walker initialization ---------------------------------------------
 
     def init_sample(
-        self, rng: KeyArray, R: jax.Array, n: int, elec_std: Optional[float] = None
+        self, rng: KeyArray, R: jax.Array, n: int, elec_std: t.Optional[float] = None
     ) -> PhysicalConfiguration:
         """Heuristic initial electron positions for ``n`` walkers.
 
@@ -124,13 +115,11 @@ class MolecularHamiltonian:
         (reference hamil.py:152-262).
         """
         assert R.ndim == 2
-        Rs = jnp.tile(R[None], (n, 1, 1))
-        return jax.vmap(self.init_single_sample, (0, 0, None))(
-            jax.random.split(rng, n), Rs, elec_std
-        )
+        one_walker = lambda key: self.init_single_sample(key, R, elec_std)
+        return jax.vmap(one_walker)(jax.random.split(rng, n))
 
     def init_single_sample(
-        self, rng: KeyArray, R: jax.Array, elec_std: Optional[float]
+        self, rng: KeyArray, R: jax.Array, elec_std: t.Optional[float]
     ) -> PhysicalConfiguration:
         """One walker: nucleus-seat assignment, then Gaussian clouds.
 
@@ -241,47 +230,37 @@ class MolecularHamiltonian:
 
     # --- local energy -------------------------------------------------------
 
-    def local_energy(self, ansatz: ParametrizedWaveFunction) -> Callable[
-        [Optional[KeyArray], Params, PhysicalConfiguration],
-        tuple[Energy, Stats],
+    def local_energy(self, ansatz: types.ParametrizedWaveFunction) -> t.Callable[
+        [t.Optional[KeyArray], Params, PhysicalConfiguration],
+        tuple[types.Energy, types.Stats],
     ]:
-        def loc_ene(
-            rng: Optional[KeyArray], params: Params, phys_conf: PhysicalConfiguration
-        ) -> tuple[Energy, Stats]:
+        potential, ns_valence, lap_op = self.potential, self.ns_valence, self.laplacian
+
+        def loc_ene(rng, params, phys_conf):
             wf = partial(ansatz, params)
-
-            def log_psi_of_flat_r(r_flat: jax.Array) -> jax.Array:
-                return wf(phys_conf.replace(r=r_flat.reshape(-1, 3))).log
-
-            lap_log_psi, grad_log_psi = self.laplacian(log_psi_of_flat_r)(
-                phys_conf.r.flatten()
-            )
-            quantum_force_sq = (grad_log_psi**2).sum(axis=-1)
-            E_kin = -0.5 * (lap_log_psi + quantum_force_sq)
-            E_nuc = nuclear_energy(phys_conf, self.ns_valence)
-            V_el = electronic_potential(phys_conf)
-            V_loc = self.potential.local_potential(phys_conf)
-            V_nl = self.potential.nonloc_potential(rng, phys_conf, wf)
-            E_loc = E_kin + V_loc + V_nl + V_el + E_nuc
-            stats = {
-                'hamil/V_el': V_el,
-                'hamil/E_kin': E_kin,
-                'hamil/V_loc': V_loc,
-                'hamil/V_nl': V_nl,
-                'hamil/lap': lap_log_psi,
-                'hamil/quantum_force': quantum_force_sq,
+            log_psi_flat = lambda x: wf(phys_conf.replace(r=x.reshape(-1, 3))).log
+            lap, grad = lap_op(log_psi_flat)(phys_conf.r.flatten())
+            force_sq = (grad * grad).sum(axis=-1)
+            terms = {
+                'E_kin': -0.5 * (lap + force_sq),
+                'V_loc': potential.local_potential(phys_conf),
+                'V_nl': potential.nonloc_potential(rng, phys_conf, wf),
+                'V_el': electronic_potential(phys_conf),
             }
+            E_loc = sum(terms.values()) + nuclear_energy(phys_conf, ns_valence)
+            stats = {f'hamil/{k}': v for k, v in terms.items()}
+            stats |= {'hamil/lap': lap, 'hamil/quantum_force': force_sq}
             return E_loc, stats
 
         return loc_ene
 
-    def as_pyscf(self, *, coords: Optional[jax.Array] = None) -> dict[str, Any]:
+    def as_pyscf(self, *, coords: t.Optional[jax.Array] = None) -> dict[str, t.Any]:
         """System description in pyscf's ``gto.M`` keyword format."""
-        coords = coords if coords is not None else self.mol.coords
-        return {
-            'atom': [(int(c), r.tolist()) for c, r in zip(self.mol.charges, coords)],
-            'charge': self.mol.charge,
-            'spin': self.mol.spin,
-            'ecp': {int(c): self.ecp_type for c in self.mol.charges[self.ecp_mask]},
-            'unit': 'bohr',
-        }
+        mol = self.mol
+        if coords is None:
+            coords = mol.coords
+        atoms = list(zip((int(z) for z in mol.charges), (xyz.tolist() for xyz in coords)))
+        cores = {int(z): self.ecp_type for z in mol.charges[self.ecp_mask]}
+        return dict(
+            atom=atoms, unit='bohr', charge=mol.charge, spin=mol.spin, ecp=cores
+        )

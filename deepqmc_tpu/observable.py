@@ -64,22 +64,31 @@ class MonitorSpec:
 
 
 def grid_vmap(fn: Callable, batch: Batch, *extra_cols) -> jax.Array:
-    """Map a per-walker function over the flattened (mol, state, walker) grid.
+    """Map a per-walker function over the (mol, state, walker) grid.
 
-    ``fn(params, phys_conf, *cols)`` is evaluated once per walker; the grid
-    axes are collapsed into one batch axis (one vmap, one large batch for
-    XLA) and restored on the output.
+    ``fn(params, phys_conf, *cols)`` is evaluated once per walker against the
+    parameters of that walker's electronic state (``batch.params`` carries a
+    leading state axis, wf/base.py init_wf_params): the mol and walker axes
+    are collapsed into ONE large batch axis per state (one inner vmap, MXU-
+    friendly), and an outer vmap pairs each state's walkers with its own
+    parameter slice.  Grid axes are restored on the output.
     """
     m, s, w = batch.grid_shape
-    flat_conf = jax.tree_util.tree_map(
-        lambda x: x.reshape(m * s * w, *x.shape[3:]), batch.phys_conf
-    )
+
+    def state_major(x):
+        # (mol, state, walker, ...) -> (state, mol*walker, ...)
+        return x.swapaxes(0, 1).reshape(s, m * w, *x.shape[3:])
+
+    flat_conf = jax.tree_util.tree_map(state_major, batch.phys_conf)
     cols = tuple(
-        jnp.broadcast_to(c, (m, s, w) + c.shape[3:]).reshape(m * s * w, *c.shape[3:])
+        state_major(jnp.broadcast_to(c, (m, s, w) + c.shape[3:]))
         for c in extra_cols
     )
-    out = jax.vmap(fn, (None, 0) + (0,) * len(cols))(batch.params, flat_conf, *cols)
-    return jax.tree_util.tree_map(lambda x: x.reshape(m, s, w, *x.shape[1:]), out)
+    per_state = jax.vmap(fn, (None, 0) + (0,) * len(cols))
+    out = jax.vmap(per_state)(batch.params, flat_conf, *cols)
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape(s, m, w, *x.shape[2:]).swapaxes(0, 1), out
+    )
 
 
 def walker_moments(name: str, samples: jax.Array, axis: int = -1) -> Stats:

@@ -30,6 +30,12 @@ def main():
     p.add_argument('--config', required=True)
     p.add_argument('--eval-workdir', required=True)
     p.add_argument('--trained-steps', type=int, required=True)
+    p.add_argument(
+        '--train-seconds',
+        type=float,
+        default=None,
+        help='cumulative training wall time (sums across resumed segments)',
+    )
     args = p.parse_args()
     cfg = acc.CONFIGS[args.config]
     per_state = acc.read_per_state_energies(args.eval_workdir)
@@ -45,7 +51,7 @@ def main():
         'reference_source': cfg['reference_source'],
         'deviation_mha': dev_mha,
         'within_tol': abs(dev_mha) <= cfg['tol_mha'],
-        'train_seconds': None,
+        'train_seconds': round(args.train_seconds) if args.train_seconds else None,
     }
     if len(per_state) > 1:
         row['excited_energies'] = per_state[1:]

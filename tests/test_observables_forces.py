@@ -98,3 +98,42 @@ def test_postprocess_roundtrip(tmp_path):
     assert results['local_energy/samples'].shape == (6, 1, 4)
     per_mol = read_and_convert_result(tmp_path, 'local_energy/samples')
     assert per_mol['local_energy/samples'].shape == (3, 2, 4)
+
+
+def test_monitor_grid_vmap_routes_per_state_params(h2_setup):
+    """SpinMonitor (the grid_vmap path) must pair each electronic state's
+    walkers with that state's OWN parameter slice — regression for the
+    round-3 fix where the full state-stacked params pytree leaked into the
+    single-sample wf (multi-state shapes exploded; single-state silently
+    carried a spurious leading axis)."""
+    from deepqmc_tpu.observable import SpinMonitor
+    from deepqmc_tpu.physics import evaluate_spin
+
+    hamil, pc = h2_setup
+    m, s, w = 1, 2, 3
+
+    def wf(params, phys_conf):
+        d = jnp.linalg.norm(phys_conf.r[:, None] - phys_conf.R[None], axis=-1)
+        return Psi(jnp.array(1.0), -params['alpha'] * d.min(-1).sum())
+
+    params = {'alpha': jnp.array([0.5, 0.9])}  # leading state axis
+    grid_pc = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (m, s, w, *x.shape)), pc
+    )
+    # decorrelate the states' walkers so a params mix-up changes the values
+    grid_pc = grid_pc.replace(
+        r=grid_pc.r + 0.1 * jnp.arange(m * s * w).reshape(m, s, w, 1, 1)
+    )
+    monitor = SpinMonitor(save_samples=True, period=1).finalize(hamil, wf)
+    e_loc = jnp.zeros((m, s, w))
+    psi = Psi(jnp.ones((m, s, w)), jnp.zeros((m, s, w)))
+    stats = monitor(0, params, grid_pc, psi, e_loc, None)
+    samples = np.asarray(stats['spin/samples'])
+    assert samples.shape == (m, s, w)
+    for i in range(s):
+        for k in range(w):
+            ref = evaluate_spin(hamil, wf)(
+                {'alpha': params['alpha'][i]},
+                jax.tree_util.tree_map(lambda x: x[0, i, k], grid_pc),
+            )
+            assert np.allclose(samples[0, i, k], float(ref), rtol=1e-6), (i, k)

@@ -33,11 +33,14 @@ def sampling_precision_ctx():
     accept/reject, where the 3-pass-bf16 'high' mode's ~1e-6 relative error
     is far below the O(0.1-1) log-ratio scale.  'high' roughly halves the
     MXU time of the decorrelation sweeps on TPU.  Override with
-    DEEPQMC_TPU_SAMPLING_PRECISION=(highest|high|default); CPU ignores
-    matmul precision entirely, so golden tests are unaffected.
+    DEEPQMC_TPU_SAMPLING_PRECISION=(highest|high|default) — jax matmul
+    precision labels, so 'default' is single-pass bf16 (a further 1e-3-level
+    candidate, convergence-gated like 'high') — or 'inherit' to leave the
+    global 'highest' pin untouched.  CPU ignores matmul precision entirely,
+    so golden tests are unaffected.
     """
     label = os.environ.get('DEEPQMC_TPU_SAMPLING_PRECISION', 'high')
-    if label == 'default':
+    if label == 'inherit':
         return nullcontext()
     return jax.default_matmul_precision(label)
 

@@ -95,6 +95,11 @@ CONFIGS = {
             'hamil/mol=benzene',
             'task.electronic_states=2',
             'task.pretrain_kwargs.scf_kwargs.cas=[6,6]',  # benzene pi space
+            # minimal-basis CASCI target: the in-house SCF's even-tempered
+            # expansion of the yaml's aug-cc-pVTZ needs an hours-long ERI
+            # build on a 1-core host; must stay in sync with
+            # scripts/precompute_scf.py (the cached target's basis)
+            'task.pretrain_kwargs.scf_kwargs.basis=sto-6g',
             'task.electron_batch_size=1024',
             'task.steps=1500',
             'task.pretrain_steps=1000',

@@ -54,9 +54,17 @@ def _recentre(x, robust: bool):
     centre, the residuals, and their absolute values (the input to every
     scale statistic below).
     """
-    loc = all_device_median(x) if robust else all_device_mean(x)
+    loc = (all_device_median if robust else all_device_mean)(x)
     resid = x - loc
     return loc, resid, jnp.abs(resid)
+
+
+def _hard_window(loc, resid, absr, window, exclude_width):
+    """Clamp residuals into ``loc +/- window``; mask outliers past
+    ``exclude_width`` (in the same units as ``absr``)."""
+    clamped = jnp.minimum(jnp.maximum(resid, -window), window)
+    keep = absr < exclude_width
+    return loc + clamped, keep
 
 
 def median_clip_and_mask(
@@ -72,8 +80,8 @@ def median_clip_and_mask(
     centre.  ``median_center`` picks median vs mean recentring.
     """
     loc, resid, absr = _recentre(x, robust=median_center)
-    window = clip_width * all_device_mean(absr)
-    return loc + jnp.clip(resid, -window, window), absr < exclude_width
+    mad = all_device_mean(absr)
+    return _hard_window(loc, resid, absr, clip_width * mad, exclude_width)
 
 
 def median_log_squeeze_and_mask(
@@ -93,7 +101,8 @@ def median_log_squeeze_and_mask(
     scale = all_device_quantile(absr, quantile)
     halfwidth = 2 * clip_width * scale
     squeezed = halfwidth * log_squeeze(resid / halfwidth)
-    return x - resid + squeezed, absr / scale < exclude_width
+    keep = absr / scale < exclude_width
+    return x + (squeezed - resid), keep
 
 
 def psi_ratio_clip_and_mask(
@@ -107,5 +116,5 @@ def psi_ratio_clip_and_mask(
     heavier-tailed than local energies, so even the scale uses the median).
     """
     loc, resid, absr = _recentre(psi_ratio, robust=True)
-    window = clip_width * all_device_median(absr)
-    return loc + jnp.clip(resid, -window, window), absr < exclude_width
+    mad = all_device_median(absr)
+    return _hard_window(loc, resid, absr, clip_width * mad, exclude_width)

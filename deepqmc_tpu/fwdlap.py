@@ -395,22 +395,30 @@ def _use_pallas() -> bool:
 def _jac_store_dtype():
     """Storage dtype for Jacobian intermediates (None = keep compute dtype).
 
-    ``DEEPQMC_TPU_JAC_DTYPE=bf16`` stores every Jacobian intermediate in
-    bfloat16 between ops, halving the dominant HBM traffic of the local
-    energy (the [3N, ...] jac channel is ~30x the forward activations —
-    docs/PERF.md).  All rule MATH stays in the compute dtype: non-kernel
-    rules upcast on entry, and the Pallas kernels take bf16 operands and
-    upcast after the VMEM load.  The Laplacian and primal channels are
-    never downcast.  Opt-in: bf16 jac shifts local energies at the ~0.1%
-    level per op roundtrip, so it must be validated against a convergence
-    A/B (scripts/ab_lih_convergence.py) before production use.
+    Storing every Jacobian intermediate in bfloat16 between ops halves the
+    dominant HBM traffic of the local energy (the [3N, ...] jac channel is
+    ~30x the forward activations — docs/PERF.md; measured 266 -> 217 ms
+    H2O-PsiFormer eloc, docs/evidence/ab_eloc_r03_sweep.jsonl).  All rule
+    MATH stays in the compute dtype: non-kernel rules upcast on entry, and
+    the Pallas kernels take bf16 operands and upcast after the VMEM load.
+    The Laplacian and primal channels are never downcast.
+
+    Default: bfloat16 storage on accelerators, compute dtype on CPU (the
+    f64 test/golden-parity lane).  The TPU default is gated on a measured
+    LiH convergence A/B — bf16-jac vs f32-jac training at matched budgets
+    lands within one sampling error bar of the reference energy
+    (docs/evidence/ab_lih_convergence.jsonl).  ``DEEPQMC_TPU_JAC_DTYPE``
+    overrides either way: ``bf16`` forces bfloat16 storage, ``f32``
+    (also ``native``/``off``) keeps the compute dtype.
     """
     import os
 
     name = os.environ.get('DEEPQMC_TPU_JAC_DTYPE', '').lower()
     if name in ('bf16', 'bfloat16'):
         return jnp.bfloat16
-    return None
+    if name in ('f32', 'float32', 'native', 'off', 'highest'):
+        return None
+    return jnp.bfloat16 if jax.devices()[0].platform != 'cpu' else None
 
 
 def _upcast_fl(val):

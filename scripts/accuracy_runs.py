@@ -353,6 +353,9 @@ def _write_table(rows):
                         f'{r["oscillator_strength_01_err"]:.4f}'
                     )
                 f.write('\n')
+        notes = Path('docs/evidence/accuracy_notes.md')
+        if notes.exists():
+            f.write('\n' + notes.read_text())
 
 
 if __name__ == '__main__':

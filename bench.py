@@ -125,6 +125,26 @@ def main():
     else:
         opt_factory = NoOptimizer
 
+    # AOT executable cache: a warm start skips the minutes-long trace+compile
+    # of the fused block entirely (deepqmc_tpu/aot.py).  bench_cache/ holds a
+    # repo-committed artifact so even a fresh container warm-starts.
+    from deepqmc_tpu.aot import AotCache
+
+    aot_cache = AotCache(
+        'bench_block',
+        {
+            'mol': mol,
+            'coords': np.asarray(hamil.mol.coords).tolist(),
+            'ansatz': args.ansatz,
+            'preset_kwargs': preset_kwargs,
+            'walkers': walkers,
+            'decorr': args.decorr,
+            'optimizer': args.optimizer,
+            'block': args.block,
+        },
+        extra_dirs=[os.path.join(os.path.dirname(os.path.abspath(__file__)), 'bench_cache')],
+    )
+
     block = max(1, min(args.block, n_steps))
     # skip two blocks before timing: the first compiles, the second typically
     # recompiles once more as output shardings replace the host-built carry
@@ -146,6 +166,7 @@ def main():
         partial(create_loss_fn, clip_mask_fn=median_log_squeeze_and_mask),
         [m.finalize(hamil, ansatz.apply) for m in default_observable_monitors()],
         block_size=block,
+        aot_cache=aot_cache,
     ):
         if (step + 1) % block == 0 or step == n_steps + warmup_steps - 1:
             block_ends.append(time.perf_counter())

@@ -1,0 +1,218 @@
+"""Ahead-of-time (AOT) executable cache for the fused training step.
+
+The fused training block (fit.py ``train_block``) is a very large program:
+the forward-Laplacian interpreter alone produces a jaxpr whose *Python trace
+time* is minutes, on top of the XLA compile.  JAX's persistent compilation
+cache only removes the compile half — tracing happens on every process
+start, which is the dominant startup cost of ``bench.py`` and of every CLI
+run (docs/PERF.md "Compile-cache status").
+
+This module removes BOTH halves by serializing the fully *compiled*
+executable (``jax.experimental.serialize_executable``): on a warm start the
+training block is deserialized and loaded in seconds, with no tracing and no
+compilation.  TPU-native rationale: under ``jit`` everything is traced once
+and compiled — so the compiled artifact, keyed by everything that determines
+the trace, IS the program; re-deriving it per process is pure waste.
+
+Cache keying.  An entry is valid only if the traced program would be
+identical, so the key hashes together:
+
+- a caller-supplied description of the program (config/shape knobs),
+- the avals (shape/dtype/weak_type) of every flattened input,
+- the jax/jaxlib versions, platform, device kind and device count,
+- every ``DEEPQMC_TPU_*`` environment variable (they gate kernel variants,
+  jac dtype, sampling precision, ...),
+- a fingerprint of the package's own source tree (any code edit invalidates).
+
+Storage.  Entries live under ``DEEPQMC_TPU_AOT_DIR`` (default
+``~/.cache/deepqmc_tpu/aot``).  A second, read-only lookup location can be
+committed to the repository (e.g. ``bench_cache/``) so a freshly created
+container — whose home cache is empty — still warm-starts the benchmark.
+Set ``DEEPQMC_TPU_AOT_DIR=''`` (empty) to disable entirely.
+
+Failure policy: the cache is an optimization, never a requirement — any
+exception during load falls back to the normal trace+compile path, and any
+exception during save is logged and ignored.
+"""
+
+import hashlib
+import logging
+import os
+import pickle
+from functools import lru_cache
+from pathlib import Path
+
+import jax
+
+__all__ = ['AotCache', 'set_run_description', 'get_run_description']
+
+log = logging.getLogger(__name__)
+
+# run-level program description installed by the CLI (app.main) so that
+# train.py can key the training-block cache on the full composed config
+# without threading it through hydra-instantiated kwargs
+_RUN_DESCRIPTION: list = [None]
+
+
+def set_run_description(description) -> None:
+    _RUN_DESCRIPTION[0] = description
+
+
+def get_run_description():
+    return _RUN_DESCRIPTION[0]
+
+_ENV_PREFIX = 'DEEPQMC_TPU_'
+_FORMAT_VERSION = 1
+
+
+@lru_cache(maxsize=1)
+def _source_fingerprint() -> str:
+    """Hash of the package's own source files (code edits invalidate)."""
+    root = Path(__file__).parent
+    h = hashlib.sha256()
+    for p in sorted(root.rglob('*.py')):
+        h.update(p.relative_to(root).as_posix().encode())
+        h.update(p.read_bytes())
+    return h.hexdigest()[:16]
+
+
+def _env_fingerprint() -> str:
+    import jaxlib
+
+    dev = jax.devices()[0]
+    return repr(
+        (
+            _FORMAT_VERSION,
+            jax.__version__,
+            jaxlib.__version__,
+            dev.platform,
+            getattr(dev, 'device_kind', ''),
+            len(jax.devices()),
+            sorted(
+                (k, v)
+                for k, v in os.environ.items()
+                if k.startswith(_ENV_PREFIX) and k != _ENV_PREFIX + 'AOT_DIR'
+            ),
+        )
+    )
+
+
+def _avals_fingerprint(flat_args) -> str:
+    return repr(
+        [
+            (x.shape, str(x.dtype), bool(getattr(x, 'weak_type', False)))
+            for x in map(jax.api_util.shaped_abstractify, flat_args)
+        ]
+    )
+
+
+class AotCache:
+    """Load-or-build cache of one compiled jitted function.
+
+    Args:
+        name: human-readable entry prefix (part of the file name).
+        description: anything ``repr``-able that, together with the input
+            avals and the environment, uniquely determines the traced
+            program (resolved config, molecule, ansatz preset, ...).
+        extra_dirs: additional read-only lookup directories (searched after
+            the writable cache dir), e.g. a repo-committed ``bench_cache/``.
+    """
+
+    def __init__(self, name: str, description, extra_dirs=()):
+        self.name = name
+        self.description = repr(description)
+        self.extra_dirs = [Path(d) for d in extra_dirs]
+        env_dir = os.environ.get(_ENV_PREFIX + 'AOT_DIR')
+        if env_dir == '':
+            self.cache_dir = None
+        elif env_dir:
+            self.cache_dir = Path(env_dir)
+        else:
+            self.cache_dir = Path.home() / '.cache' / 'deepqmc_tpu' / 'aot'
+
+    @property
+    def enabled(self) -> bool:
+        return self.cache_dir is not None
+
+    def _entry_path(self, flat_args, base: Path) -> Path:
+        key = hashlib.sha256()
+        key.update(self.description.encode())
+        key.update(_env_fingerprint().encode())
+        key.update(_avals_fingerprint(flat_args).encode())
+        key.update(_source_fingerprint().encode())
+        return base / f'{self.name}-{key.hexdigest()[:24]}.aot'
+
+    def load(self, *args):
+        """Return ``(compiled_fn, meta)`` for these example args, or None.
+
+        ``compiled_fn`` has the original calling convention (pytrees in and
+        out); ``meta`` is whatever was passed to :meth:`save`.
+        """
+        if not self.enabled:
+            return None
+        flat_args, _ = jax.tree_util.tree_flatten(args)
+        for base in [self.cache_dir, *self.extra_dirs]:
+            path = self._entry_path(flat_args, base)
+            if not path.exists():
+                continue
+            try:
+                from jax.experimental import serialize_executable
+
+                with open(path, 'rb') as fh:
+                    # the stored trees are the jit call-signature treedefs
+                    # ((args, kwargs) in, outputs out); entry identity is
+                    # guaranteed by the content hash in the file name
+                    payload, stored_in_tree, out_tree, device_ids, meta = (
+                        pickle.load(fh)
+                    )
+                # rebind to the devices the program was compiled for —
+                # without this a 1-device program loaded on an N-device
+                # backend is wrapped as N-way replicated and rejects inputs
+                by_id = {d.id: d for d in jax.devices()}
+                execution_devices = [by_id[i] for i in device_ids]
+                compiled = serialize_executable.deserialize_and_load(
+                    payload,
+                    stored_in_tree,
+                    out_tree,
+                    execution_devices=execution_devices,
+                )
+                # probe-execute once: XLA AOT loading can DEFER failures to
+                # run time (observed on XLA:CPU — a fusion symbol missing
+                # from the deserialized executable raises only when an
+                # output buffer materializes).  The caller's example args
+                # are the real first-call args, so one discarded execution
+                # proves the executable is usable before we commit to it.
+                jax.block_until_ready(compiled(*args))
+                log.info(f'AOT cache hit: {path}')
+                return compiled, meta
+            except Exception as exc:  # noqa: BLE001 - cache load must not fail the run
+                log.warning(f'AOT cache entry {path} unusable ({exc!r}); re-tracing')
+        return None
+
+    def save(self, compiled, meta, *args) -> None:
+        """Persist a ``jax.stages.Compiled`` for these example args."""
+        if not self.enabled:
+            return
+        flat_args, _ = jax.tree_util.tree_flatten(args)
+        path = self._entry_path(flat_args, self.cache_dir)
+        try:
+            from jax.experimental import serialize_executable
+
+            payload, in_tree, out_tree = serialize_executable.serialize(compiled)
+            device_ids = sorted(
+                {
+                    d.id
+                    for s in jax.tree_util.tree_leaves(compiled.input_shardings)
+                    for d in s.device_set
+                }
+            )
+            path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = path.with_suffix('.tmp')
+            with open(tmp, 'wb') as fh:
+                pickle.dump((payload, in_tree, out_tree, device_ids, meta), fh)
+            os.replace(tmp, path)
+            log.info(
+                f'AOT-cached {self.name} ({path.stat().st_size / 1e6:.1f} MB): {path}'
+            )
+        except Exception as exc:  # noqa: BLE001 - cache save must not fail the run
+            log.warning(f'Could not AOT-cache {self.name}: {exc!r}')

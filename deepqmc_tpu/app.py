@@ -109,6 +109,24 @@ def train_from_checkpoint(workdir, restdir, evaluate, chkpt='LAST', **kwargs):
         train_state = train_state._replace(opt=None)
     else:
         cfg['task']['init_step'] = step
+    # the traced program comes from the ORIGINAL run's config (plus the
+    # opt=None evaluation override), not the outer restart/evaluate task —
+    # re-key the AOT cache accordingly
+    from . import aot
+
+    volatile = ('workdir', 'restdir', 'init_step', 'seed', 'steps', 'chkpt')
+    aot.set_run_description(
+        yaml.safe_dump(
+            {
+                **{k: v for k, v in cfg.items() if k != 'task'},
+                'task': {
+                    k: v for k, v in cfg['task'].items() if k not in volatile
+                },
+                'evaluate': evaluate,
+            },
+            sort_keys=True,
+        )
+    )
     instantiate(cfg['task'], root=cfg, train_state=train_state, **kwargs)
 
 
@@ -172,6 +190,22 @@ def main(cfg, workdir: Optional[str] = None):
     with open(hydra_dir / 'config.yaml', 'w') as f:
         yaml.safe_dump(cfg, f)
     validate_kwargs(cfg['task'])
+    # key the AOT executable cache (aot.py) on the composed config, minus
+    # run-location/progress knobs that do not change the traced program
+    from . import aot
+
+    volatile = ('workdir', 'restdir', 'init_step', 'seed', 'steps', 'chkpt')
+    aot.set_run_description(
+        yaml.safe_dump(
+            {
+                **{k: v for k, v in cfg.items() if k != 'task'},
+                'task': {
+                    k: v for k, v in cfg['task'].items() if k not in volatile
+                },
+            },
+            sort_keys=True,
+        )
+    )
     instantiate(cfg['task'], root=cfg)
 
 

@@ -57,6 +57,7 @@ def fit_wf(  # noqa: C901
     loss_function_factory: LossFunctionFactory,
     observable_monitors: list[ObservableMonitor],
     block_size: int = 1,
+    aot_cache=None,
 ) -> Generator[tuple[int, TrainState, jax.Array, Stats, dict], None, None]:
     loss_fn = loss_function_factory(hamil, ansatz)
     # VMCLoss provides the direct (single-vjp) gradient estimator; fall back
@@ -183,13 +184,49 @@ def fit_wf(  # noqa: C901
         layout_box['layout'] = layout  # static metadata, set at trace time
         return carry, (outputs, heavy)
 
+    # AOT executable cache (aot.py): a warm start loads the fully compiled
+    # block — no Python trace of the forward-Laplacian jaxpr, no XLA compile.
+    # Short trailing blocks (k < block_size) fall back to the jitted path.
+    block_fn_box: dict = {'fn': None, 'k': None}
+
+    def resolve_block_fn(rngs, mol_idxs_block, carry):
+        k = len(rngs)
+        if block_fn_box['fn'] is not None and block_fn_box['k'] == k:
+            return block_fn_box['fn']
+        fn = train_block
+        if aot_cache is not None and k == block_size:
+            hit = aot_cache.load(rngs, mol_idxs_block, carry)
+            if hit is not None:
+                fn, meta = hit
+                layout_box['layout'] = meta['layout']
+            else:
+                t0 = time.perf_counter()
+                lowered = train_block.lower(rngs, mol_idxs_block, carry)
+                t1 = time.perf_counter()
+                fn = lowered.compile()
+                log.info(
+                    f'Traced training block in {t1 - t0:.0f}s, '
+                    f'compiled in {time.perf_counter() - t1:.0f}s'
+                )
+                aot_cache.save(
+                    fn, {'layout': layout_box['layout']}, rngs, mol_idxs_block, carry
+                )
+        block_fn_box.update(fn=fn, k=k)
+        return fn
+
     if opt_state is None:
         rng, rng_sample, rng_opt = jax.random.split(rng, 3)
         mol_idxs = molecule_idx_sampler.sample()
         data = {'energy_ewm': ewm_state.mean, 'std_ewm': std_ewm_state.mean}
         data_it = jax.tree_util.tree_map(lambda x: x[mol_idxs], data)
-        _, init_phys_conf, _ = jax.jit(sampler.sample)(
-            rng_sample, smpl_state, params, mol_idxs
+        # every opt.init consumes only the SHAPES of the batch (optimizer.py;
+        # KFAC layer discovery inspects activation shapes) — eval_shape skips
+        # compiling-and-running a whole sampling program at startup
+        _, init_pc_shapes, _ = jax.eval_shape(
+            sampler.sample, rng_sample, smpl_state, params, mol_idxs
+        )
+        init_phys_conf = jax.tree_util.tree_map(
+            lambda sd: jnp.zeros(sd.shape, sd.dtype), init_pc_shapes
         )
         opt_state = opt.init(
             rng_opt,
@@ -225,13 +262,14 @@ def fit_wf(  # noqa: C901
         (async dispatch), so the host can log the PREVIOUS block while the
         device crunches this one."""
         _, rngs, mol_idxs_block = inputs
+        block_fn = resolve_block_fn(rngs, mol_idxs_block, carry)
         if profile_dir and counter == PROFILE_BLOCK:
             log.info(f'Capturing jax.profiler trace of block {counter}')
             with jax.profiler.trace(profile_dir):
-                carry, out = train_block(rngs, mol_idxs_block, carry)
+                carry, out = block_fn(rngs, mol_idxs_block, carry)
                 jax.block_until_ready(out)
         else:
-            carry, out = train_block(rngs, mol_idxs_block, carry)
+            carry, out = block_fn(rngs, mol_idxs_block, carry)
         return carry, out
 
     # software-pipelined loop: while the host fetches and logs block N, the

@@ -98,9 +98,24 @@ class KFAC:
         self._ansatz = ansatz
 
     def _discover_layers(self, params, phys_conf) -> list[LayerMeta]:
-        """One single-sample trace to learn the dense-layer structure."""
+        """One single-sample SHAPE trace to learn the dense-layer structure.
+
+        Only shapes are consumed, so the forward runs under
+        :func:`jax.eval_shape` — zero FLOPs and zero device dispatches
+        (an eager forward here costs minutes of per-op RPC round-trips
+        through the TPU tunnel at process start)."""
         assert self._ansatz is not None, 'KFAC needs bind_ansatz() before init'
-        _, captures = self._ansatz.apply_instrumented(params, None, phys_conf)
+
+        def shape_probe(p, pc):
+            _, caps = self._ansatz.apply_instrumented(p, None, pc)
+            # re-express the static out_shape tuples as abstract zeros so
+            # eval_shape carries them as ShapeDtypeStructs, not int leaves
+            return {
+                path: [(x, jnp.zeros(s)) for x, s in calls]
+                for path, calls in caps.items()
+            }
+
+        captures = jax.eval_shape(shape_probe, params, phys_conf)
         metas = []
         for path, calls in captures.items():
             bundle = params[path]
@@ -108,12 +123,12 @@ class KFAC:
                 continue
             in_dim, out_dim = bundle['w'].shape
             repeats, out_shapes = [], []
-            for x, out_shape in calls:
+            for x, out_probe in calls:
                 rep = 1
                 for d in x.shape[:-1]:
                     rep *= d
                 repeats.append(rep)
-                out_shapes.append(tuple(out_shape))
+                out_shapes.append(tuple(out_probe.shape))
             if sum(repeats) == 0:
                 # layers applied only to empty edge sets (e.g. same-spin
                 # edges with one electron per spin) receive no gradient;

@@ -152,6 +152,28 @@ class TrainSession:
         self.rng, out = jax.random.split(self.rng)
         return out
 
+    def _aot_cache(self):
+        """Executable cache for the fused training block (aot.py).
+
+        Active only when the CLI installed a run description (the composed
+        config) and the run is single-process; the molecule geometries are
+        appended since dataset molecules are not part of the config."""
+        from . import aot
+
+        run_desc = aot.get_run_description()
+        if run_desc is None or jax.process_count() > 1:
+            return None
+        mols_desc = [
+            (
+                np.asarray(m.coords).tolist(),
+                np.asarray(m.charges).tolist(),
+                int(m.charge),
+                int(m.spin),
+            )
+            for m in self.mols
+        ]
+        return aot.AotCache('train_block', (run_desc, mols_desc, self.mode))
+
     # -- phases --------------------------------------------------------------
 
     def init_params(self, merge_keys):
@@ -274,6 +296,7 @@ class TrainSession:
                 m.finalize(self.hamil, self.ansatz.apply) for m in self.monitors
             ],
             block_size=fit_block_size,
+            aot_cache=self._aot_cache(),
         ):
             progress.update(steps_range, mol_idxs, stats)
             if np.isnan(np.asarray(samples['psi/samples']['log'])).any():

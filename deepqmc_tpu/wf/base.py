@@ -50,8 +50,13 @@ def init_wf_params(
     """
     rng_sample, rng_params = jax.random.split(rng)
     phys_conf = hamil.init_sample(rng_sample, hamil.mol.coords, 1)[0]
+    # ONE jitted program instead of an eager op-by-op forward: XLA dead-code
+    # eliminates everything but the PRNG + initializer ops, and the remote
+    # dispatch overhead (minutes through the TPU RPC tunnel) collapses to a
+    # single compile, shared across electronic states
+    init_one = jax.jit(ansatz.init)
     params = [
-        ansatz.init(rng_state, phys_conf)
+        init_one(rng_state, phys_conf)
         for rng_state in jax.random.split(rng_params, electronic_states)
     ]
     stacked = tree_stack(params)

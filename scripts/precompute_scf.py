@@ -34,12 +34,14 @@ JOBS = {
         scf_kwargs={'basis': 'sto-6g'},
         workdir='runs/accuracy/sco/training',
     ),
-    # accuracy_runs.py 'benzene_excited' + train_excited_psiformer.yaml
+    # accuracy_runs.py 'benzene_excited' overrides the yaml's aug-cc-pVTZ
+    # down to the minimal-basis CASCI target (see its comment); the cache
+    # key must match what the CLI run passes
     'benzene_excited': dict(
         mol='benzene',
         hamil_kwargs={},
         n_states=2,
-        scf_kwargs={'basis': 'aug-cc-pVTZ', 'cas': (6, 6)},
+        scf_kwargs={'basis': 'sto-6g', 'cas': (6, 6)},
         workdir='runs/accuracy/benzene_excited/training',
     ),
 }

@@ -274,7 +274,11 @@ def fit_wf(  # noqa: C901
 
     # software-pipelined loop: while the host fetches and logs block N, the
     # device already executes block N+1 — without this, every block pays the
-    # full host-side logging time as device idle time
+    # full host-side logging time as device idle time.  Pipelining keeps two
+    # blocks' outputs alive on device at once; configs tuned near the HBM
+    # limit can opt out (DEEPQMC_TPU_NO_PIPELINE=1) to fetch block N before
+    # block N+1 is dispatched.
+    pipelined = not os.environ.get('DEEPQMC_TPU_NO_PIPELINE')
     inflight = next_block_inputs()
     if inflight is not None:
         block_start = time.perf_counter()
@@ -284,20 +288,36 @@ def fit_wf(  # noqa: C901
         block_steps, _, mol_idxs_block = inflight
         k = len(block_steps)
         train_state = carry[0]
-        pending = next_block_inputs()
+        pending = None
         pending_exc = None
-        if pending is not None:
+
+        def dispatch_pending():
+            nonlocal pending, pending_exc, block_counter
+            pending = next_block_inputs()
+            if pending is None:
+                return None
             try:
-                next_carry, next_out = dispatch(pending, carry, block_counter)
+                out = dispatch(pending, carry, block_counter)
                 block_counter += 1
+                return out
             except Exception as exc:  # noqa: BLE001
                 # don't lose block N's finished steps to a failed dispatch of
                 # block N+1 — yield them first, re-raise after
                 pending_exc = exc
                 pending = None
+                return None
+
+        if pipelined:
+            dispatched = dispatch_pending()
+            if dispatched is not None:
+                next_carry, next_out = dispatched
         # the heavy per-step phys_confs stay on device; only the last step's
         # configuration feeds the periodic monitors
         outputs = jax.device_get(outputs)
+        if not pipelined:
+            dispatched = dispatch_pending()
+            if dispatched is not None:
+                next_carry, next_out = dispatched
         block_time = time.perf_counter() - block_start
         block_start = time.perf_counter()
         n_walkers = int(np.prod(train_state.sampler['elec']['r'].shape[:3]))

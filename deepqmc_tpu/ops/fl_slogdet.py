@@ -320,7 +320,9 @@ def slogdet_fl_flat_split(a_flat, ju_flat, jd_flat, la_flat, n_det):
     )
 
 
-def _flat_split_kernel(invf_ref, invtf_ref, juk_ref, jdk_ref, jout_ref, trq_ref):
+def _flat_split_kernel(
+    invf_ref, invtf_ref, juk_ref, jdk_ref, jout_ref, trq_ref, *, trq_chunk
+):
     """ONE program per walker block; all det/direction unpacking in VMEM.
 
     Inputs (pre-arranged OUTSIDE the kernel — XLA transposes are cheap in
@@ -380,17 +382,30 @@ def _flat_split_kernel(invf_ref, invtf_ref, juk_ref, jdk_ref, jout_ref, trq_ref)
     )
 
     # sum_k tr(m_k^2) = <m_k, m_k^T>: per-k lane slices stacked on a
-    # non-minor axis, then a minor-pair transpose + elementwise reduce
-    m_k = jnp.stack(
-        [
-            jax.lax.slice(m_col, (0, 0, k * n), (W * D, n, (k + 1) * n))
-            for k in range(K)
-        ],
-        axis=1,
-    )  # [W*D, K, n, n]
-    m_kt = jnp.swapaxes(m_k, -1, -2)
-    trq = (m_k * m_kt).sum(axis=3).sum(axis=2)  # [W*D, K]
-    trq_ref[...] = trq.sum(axis=1, keepdims=True)  # [W*D, 1]
+    # non-minor axis, then a minor-pair transpose + elementwise reduce.
+    # The [W*D, kc, n, n] stack tile-pads its minor pair to (8, 128), so it
+    # is the VMEM high-water mark at large n*K (ScO/benzene blew the 128M
+    # budget here) — accumulate it in direction chunks sized by the planner.
+    trq = None
+    for k0 in range(0, K, trq_chunk):
+        kc = min(trq_chunk, K - k0)
+        m_c = jnp.stack(
+            [
+                jax.lax.slice(
+                    m_col, (0, 0, (k0 + j) * n), (W * D, n, (k0 + j + 1) * n)
+                )
+                for j in range(kc)
+            ],
+            axis=1,
+        )  # [W*D, kc, n, n]
+        part = (
+            (m_c * jnp.swapaxes(m_c, -1, -2))
+            .sum(axis=3)
+            .sum(axis=2)
+            .sum(axis=1, keepdims=True)
+        )  # [W*D, 1]
+        trq = part if trq is None else trq + part
+    trq_ref[...] = trq
 
     # jout: tr(A_d^-1 J_k,d) — elementwise against the tiled transposed
     # inverse, per-direction lane-block sums via a [K*n, K] summation GEMM
@@ -424,6 +439,63 @@ def _flat_split_kernel(invf_ref, invtf_ref, juk_ref, jdk_ref, jout_ref, trq_ref)
     jout_ref[...] = jnp.stack(jouts, axis=2)  # [W, K, D]
 
 
+def _pad_to(x, m):
+    return -(-x // m) * m
+
+
+def _flat_split_vmem_bytes(W, D, n, nu, nd, K, kc, jac_itemsize):
+    """Conservative VMEM estimate of one _flat_split_kernel program.
+
+    Models Mosaic's (sublane, lane) tile padding — f32 tiles are (8, 128),
+    bf16 (16, 128) — for every tensor the kernel keeps live: the
+    double-buffered input windows, the f32 jac upcasts, the per-det inverse
+    column stacks, m_col, one trq direction chunk (+ its transpose), and the
+    jout loop temporaries.  Calibrated against the ScO failure (est ~217M
+    vs the compiler's measured 174.78M for W=8, kc=K): the estimate
+    overshoots ~25%, so the 84M default budget keeps the true footprint
+    under the 100M request (and leaves the measured H2O production config
+    — W=8, unchunked trq, est 83.1M — exactly as benchmarked).
+    """
+    f32 = 4
+    Dn, Kn = _pad_to(D * n, 128), _pad_to(K * n, 128)
+    sub_j = 16 if jac_itemsize == 2 else 8
+    est = 2 * 2 * W * _pad_to(n, 8) * Dn * f32  # inv/invt windows
+    est += (
+        2 * 2 * W * D * (_pad_to(nu, sub_j) + _pad_to(nd, sub_j))
+        * Kn * jac_itemsize
+    )  # jac input windows (double-buffered)
+    est += W * D * (_pad_to(nu, 8) + _pad_to(nd, 8)) * Kn * f32  # f32 upcast
+    est += (
+        W * D * _pad_to(n, 8) * (_pad_to(nu, 128) + _pad_to(nd, 128)) * f32
+    )  # il/ir
+    est += W * D * _pad_to(n, 8) * Kn * f32  # m_col
+    est += 2 * W * D * kc * _pad_to(n, 8) * _pad_to(n, 128) * f32  # trq chunk
+    est += 3 * W * (_pad_to(nu, 8) + _pad_to(nd, 8)) * Kn * f32  # jout temps
+    return est
+
+
+def _flat_split_plan(B, D, n, nu, nd, K, jac_itemsize):
+    """Pick (walker_block, trq_chunk) fitting the VMEM budget, or None.
+
+    Prefers shrinking the trq chunk (keeps the GEMM batch large) before
+    shrinking the walker block; None means even (W=1, kc=1) does not fit
+    and the caller must take the unfused XLA path.
+    """
+    import os
+
+    budget = (
+        int(os.environ.get('DEEPQMC_TPU_FL_SLOGDET_VMEM_MB', '84')) * 2**20
+    )
+    for W in (8, 4, 2, 1):
+        W = min(W, B)
+        kc = K
+        while kc >= 1:
+            if _flat_split_vmem_bytes(W, D, n, nu, nd, K, kc, jac_itemsize) <= budget:
+                return W, kc
+            kc = kc // 2
+    return None
+
+
 @functools.partial(
     jax.jit, static_argnames=('n_det', 'interpret')
 )
@@ -438,6 +510,16 @@ def _pallas_blocked_flat_split(a_flat, ju, jd, la, n_det, interpret=False):
     nd = jd.shape[2]
     n = nu + nd
     D = n_det
+    plan = _flat_split_plan(B, D, n, nu, nd, K, ju.dtype.itemsize)
+    if plan is None:
+        # even (W=1, kc=1) overflows VMEM — unfused XLA fallback
+        f32 = a_flat.dtype
+        return jax.vmap(
+            lambda af, juu, jdd, laa: slogdet_fl_flat_split(
+                af, juu.astype(f32), jdd.astype(f32), laa, n_det
+            )
+        )(a_flat, ju, jd, la)
+    W, trq_chunk = plan
     # primal linear algebra entirely in the flat layout: the tile-padded
     # [B, D, n, n] tensor is never materialized (12.8x HBM waste at n ~ 10)
     sign, logdet = slogdet_flat_small(a_flat, D)
@@ -461,7 +543,6 @@ def _pallas_blocked_flat_split(a_flat, ju, jd, la, n_det, interpret=False):
     juk = rearrange_dirs(ju, nu)
     jdk = rearrange_dirs(jd, nd)
 
-    W = min(WALKER_BLOCK, B)
     pad = (-B) % W
     if pad:
         padb = lambda x: jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1))
@@ -483,7 +564,7 @@ def _pallas_blocked_flat_split(a_flat, ju, jd, la, n_det, interpret=False):
         )
 
     jout, trq = pl.pallas_call(
-        _flat_split_kernel,
+        functools.partial(_flat_split_kernel, trq_chunk=trq_chunk),
         grid=(n_blocks,),
         out_shape=(
             jax.ShapeDtypeStruct((Bp, K, D), a_flat.dtype),

@@ -105,6 +105,10 @@ CONFIGS = {
             'task.pretrain_steps=1000',
             '+task.fit_block_size=10',
         ],
+        # benzene's forward-Laplacian jac channel is [walkers, 127, 42, 256]
+        # — chunk the eloc walker axis so HBM holds ~350 MB per intermediate
+        # instead of 2.7 GB (loss/energy.py _eloc_walker_chunk)
+        'env': {'DEEPQMC_TPU_ELOC_WALKER_CHUNK': '128'},
         'eval_task': 'evaluate_excited',  # also records oscillator strengths
         'eval_steps': 200,
         'reference': -232.22,
@@ -115,13 +119,15 @@ CONFIGS = {
 }
 
 
-def run_cli(overrides, workdir, timeout=None):
+def run_cli(overrides, workdir, timeout=None, env=None):
     import subprocess
 
     cmd = [sys.executable, '-m', 'deepqmc_tpu', *overrides, f'--workdir={workdir}']
     print('+', ' '.join(cmd), flush=True)
     t0 = time.time()
-    proc = subprocess.run(cmd, timeout=timeout)
+    proc = subprocess.run(
+        cmd, timeout=timeout, env={**os.environ, **env} if env else None
+    )
     assert proc.returncode == 0, f'CLI failed with rc={proc.returncode}'
     return time.time() - t0
 
@@ -243,6 +249,7 @@ def main():
                         '+task.fit_block_size=10',
                     ],
                     resume_wd,
+                    env=cfg.get('env'),
                 )
             wd = resume_wd
         else:
@@ -254,7 +261,7 @@ def main():
                 print(f'{name}: training already completed, skipping', flush=True)
                 train_s = prev_train_s
             else:
-                train_s = run_cli(cfg['overrides'], wd)
+                train_s = run_cli(cfg['overrides'], wd, env=cfg.get('env'))
         eval_steps = args.eval_steps or cfg['eval_steps']
         eval_wd = Path(args.workdir) / (
             f'{name}_resume{args.resume_to}_eval'
@@ -269,6 +276,7 @@ def main():
                 '+task.fit_block_size=10',
             ],
             eval_wd,
+            env=cfg.get('env'),
         )
         per_state = read_per_state_energies(eval_wd)
         energy, err = per_state[0]

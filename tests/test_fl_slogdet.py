@@ -194,6 +194,81 @@ def test_flat_split_pallas_kernel_accepts_bf16_jac():
         )
 
 
+def test_flat_split_vmem_plan():
+    """The planner keeps the proven H2O config, chunks trq for ScO-size
+    systems, and falls back (None) at benzene scale where even W=1
+    overflows VMEM."""
+    from deepqmc_tpu.ops.fl_slogdet import _flat_split_plan
+
+    # H2O psiformer: n=10, K=31, D=16, bf16 jac — untouched fast path
+    w, kc = _flat_split_plan(2048, 16, 10, 5, 5, 31, 2)
+    assert w == 8 and kc == 31
+    # ScO: n=17, K=52 — W stays 8, trq chunked
+    w, kc = _flat_split_plan(1024, 16, 17, 9, 8, 52, 2)
+    assert w == 8 and 1 <= kc < 52
+    # benzene: n=42, K=127 — single-walker blocks, heavily chunked trq
+    w, kc = _flat_split_plan(1024, 16, 42, 21, 21, 127, 2)
+    assert w == 1 and 1 <= kc < 127
+    # a pathological scale must still fall back cleanly
+    assert _flat_split_plan(1024, 64, 128, 64, 64, 385, 2) is None
+
+
+def test_flat_split_pallas_kernel_chunked_trq(monkeypatch):
+    """With a tiny VMEM budget the planner picks trq_chunk < K (and a
+    smaller walker block); the chunked kernel still equals the twin."""
+    from deepqmc_tpu.ops import fl_slogdet
+    from deepqmc_tpu.ops.fl_slogdet import (
+        _flat_split_plan,
+        _pallas_blocked_flat_split,
+        slogdet_fl_flat_split,
+    )
+
+    problems = [_random_problem(n_dets=2, n=6, seed=s) for s in range(5)]
+    inputs = [_fl_inputs(x, f) for x, f in problems]
+    a = _flatten_dets(jnp.stack([i[0] for i in inputs]))
+    ja = _flatten_dets(jnp.stack([i[1] for i in inputs]))
+    la = _flatten_dets(jnp.stack([i[2] for i in inputs]))
+    ju, jd = ja[:, :, :2], ja[:, :, 2:]
+    monkeypatch.setenv('DEEPQMC_TPU_FL_SLOGDET_VMEM_MB', '1')
+    plan = _flat_split_plan(5, 2, 6, 2, 4, ja.shape[1], ja.dtype.itemsize)
+    assert plan is not None and plan[1] < ja.shape[1]
+    _pallas_blocked_flat_split.clear_cache()
+    try:
+        got = _pallas_blocked_flat_split(a, ju, jd, la, 2, interpret=True)
+    finally:
+        _pallas_blocked_flat_split.clear_cache()
+    want = jax.vmap(lambda *t: slogdet_fl_flat_split(*t, 2))(a, ju, jd, la)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-10)
+
+
+def test_flat_split_infeasible_plan_falls_back(monkeypatch):
+    """A zero budget forces the unfused XLA fallback, which must agree with
+    the twin (and accept bf16 jac blocks)."""
+    from deepqmc_tpu.ops.fl_slogdet import (
+        _pallas_blocked_flat_split,
+        slogdet_fl_flat_split,
+    )
+
+    problems = [_random_problem(n_dets=2, n=6, seed=s) for s in range(3)]
+    inputs = [_fl_inputs(x, f) for x, f in problems]
+    a = _flatten_dets(jnp.stack([i[0] for i in inputs])).astype(jnp.float32)
+    ja = _flatten_dets(jnp.stack([i[1] for i in inputs])).astype(jnp.float32)
+    la = _flatten_dets(jnp.stack([i[2] for i in inputs])).astype(jnp.float32)
+    ju, jd = ja[:, :, :2], ja[:, :, 2:]
+    monkeypatch.setenv('DEEPQMC_TPU_FL_SLOGDET_VMEM_MB', '0')
+    _pallas_blocked_flat_split.clear_cache()
+    try:
+        got = _pallas_blocked_flat_split(a, ju, jd, la, 2, interpret=True)
+    finally:
+        _pallas_blocked_flat_split.clear_cache()
+    want = jax.vmap(lambda *t: slogdet_fl_flat_split(*t, 2))(a, ju, jd, la)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-5
+        )
+
+
 def test_fwdlap_flat_slogdet_matches_oracle():
     """forward_laplacian through slogdet_flat (concat->flat det path, as the
     ansatz builds it) matches the nested-autodiff oracle."""

@@ -164,3 +164,20 @@ def test_forward_only_call_matches_value_and_grad(loss_setup, helpers):
     (loss2, (E_loc2, *_)), _ = loss_fn.value_and_grad(params, helpers.rng(7), batch)
     np.testing.assert_allclose(np.asarray(loss), np.asarray(loss2))
     np.testing.assert_allclose(np.asarray(E_loc), np.asarray(E_loc2))
+
+
+def test_chunked_eloc_matches_whole_batch(loss_setup, helpers, monkeypatch):
+    """DEEPQMC_TPU_ELOC_WALKER_CHUNK sequentializes the walker axis without
+    changing the local energies (chunk 3 does not divide 8, so the chunker
+    must fall back to the largest divisor)."""
+    hamil, ansatz, params, phys_conf, _ = loss_setup
+    stacked = tree_stack(params)
+    rng = helpers.rng(7)
+    whole, _ = compute_local_energy(rng, hamil, ansatz.apply, stacked, phys_conf)
+    monkeypatch.setenv('DEEPQMC_TPU_ELOC_WALKER_CHUNK', '3')
+    chunked, _ = compute_local_energy(
+        rng, hamil, ansatz.apply, stacked, phys_conf
+    )
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(whole), rtol=1e-6, atol=1e-8
+    )

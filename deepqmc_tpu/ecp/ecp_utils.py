@@ -10,6 +10,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..types import PhysicalConfiguration
 
@@ -51,7 +52,8 @@ def get_unit_icosahedron_sph():
     for j in range(5):
         verts.append([math.atan(2), math.pi / 5 * 2 * j])
         verts.append([math.pi - math.atan(2), math.pi / 5 * (2 * j - 1)])
-    return jnp.array(verts)
+    # numpy: callers use this at construction time or as a traced constant
+    return np.array(verts)
 
 
 def get_quadrature_points(rng, nucleus_position, phys_conf: PhysicalConfiguration):
@@ -92,17 +94,12 @@ def get_quadrature_points(rng, nucleus_position, phys_conf: PhysicalConfiguratio
 
 
 def pad_list_of_3D_arrays_to_one_array(arrays):
-    """Zero-pad 3D arrays to a common shape and stack them."""
-    import numpy as np
-
-    shapes = np.array([np.asarray(a).shape for a in arrays])
-    target = shapes.max(axis=0)
-    return jnp.array(
+    """Zero-pad 3D arrays to a common shape and stack them (numpy)."""
+    arrays = [np.asarray(a) for a in arrays]
+    target = np.array([a.shape for a in arrays]).max(axis=0)
+    return np.array(
         [
-            jnp.pad(
-                jnp.asarray(a),
-                [(0, int(target[i]) - a.shape[i]) for i in range(3)],
-            )
-            for a in map(jnp.asarray, arrays)
+            np.pad(a, [(0, int(target[i]) - a.shape[i]) for i in range(3)])
+            for a in arrays
         ]
     )

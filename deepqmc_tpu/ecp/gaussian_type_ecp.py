@@ -47,11 +47,11 @@ def parse_gaussian_type_ecp_params(charges, ecp_type, ecp_mask):
                 # Sc table): zero-pad to a rectangular [l, n_terms, 2] array
                 width = max(len(c) for c in nonlocal_)
                 padded = [c + [[0.0, 0.0]] * (width - len(c)) for c in nonlocal_]
-                nl = jnp.array(padded).swapaxes(-1, -2)
+                nl = np.array(padded).swapaxes(-1, -2)
             else:
-                nl = jnp.zeros((1, 2, 0))
+                nl = np.zeros((1, 2, 0))
         else:
-            n_core, local, nl = 0, [[], [], []], jnp.zeros((1, 2, 0))
+            n_core, local, nl = 0, [[], [], []], np.zeros((1, 2, 0))
         ns_valence.append(int(z) - n_core)
         loc_params.append(local)
         nl_params.append(nl)
@@ -59,10 +59,12 @@ def parse_gaussian_type_ecp_params(charges, ecp_type, ecp_mask):
     padded_loc = []
     for local in loc_params:
         local = [cls + [[0.0, 0.0]] * (max_loc_terms - len(cls)) for cls in local]
-        padded_loc.append(jnp.swapaxes(jnp.array(local), -1, -2))
+        padded_loc.append(np.swapaxes(np.array(local), -1, -2))
+    # numpy throughout: these are construction-time constants; traced
+    # consumers convert them to device arrays for free
     return (
-        jnp.asarray(ns_valence, dtype=float),
-        jnp.array(padded_loc),
+        np.asarray(ns_valence, dtype=float),
+        np.array(padded_loc),
         pad_list_of_3D_arrays_to_one_array(nl_params),
     )
 
@@ -78,12 +80,12 @@ class GaussianTypeECP:
             parse_gaussian_type_ecp_params(charges, ecp_type, ecp_mask)
         )
         self.nuc_with_nl_pot = np.unique(np.nonzero(np.asarray(self.nl_params))[0])
-        thetas = get_unit_icosahedron_sph()[:, 0]
+        thetas = np.asarray(get_unit_icosahedron_sph())[:, 0]
         l_max_p1 = self.nl_params.shape[1]
         # Legendre channel values at the quadrature polar angles [12, l_max+1]
-        self.legendre_values = jnp.stack(
+        self.legendre_values = np.stack(
             [
-                jnp.polyval(jnp.asarray(legendre(l).coef), jnp.cos(thetas))
+                np.polyval(legendre(l).coef, np.cos(thetas))
                 for l in range(l_max_p1)
             ],
             axis=-1,
@@ -91,10 +93,10 @@ class GaussianTypeECP:
 
     def local_potential(self, phys_conf: PhysicalConfiguration) -> Energy:
         dists = pairwise_distance(phys_conf.r, phys_conf.R)
-        effective_coulomb = -(self.ns_valence / dists).sum(axis=(-1, -2))
+        effective_coulomb = -(jnp.asarray(self.ns_valence) / dists).sum(axis=(-1, -2))
         idxs = self.ecp_mask
         r_en = dists[:, idxs]  # [n_elec, n_ecp_nuc]
-        loc = self.loc_params[idxs]  # [n_ecp_nuc, 3, 2, n_terms]
+        loc = jnp.asarray(self.loc_params[idxs])  # [n_ecp_nuc, 3, 2, n_terms]
         alpha, beta = loc[:, :, 0], loc[:, :, 1]  # [n_ecp_nuc, 3, n_terms]
         gauss = jnp.exp(
             -alpha[None] * (r_en**2)[:, :, None, None]
@@ -122,7 +124,7 @@ class GaussianTypeECP:
 
         total = jnp.array(0.0)
         for k, nucleus_index in enumerate(self.nuc_with_nl_pot):
-            nl = self.nl_params[nucleus_index]  # [l_max+1, 2, n_terms]
+            nl = jnp.asarray(self.nl_params[nucleus_index])  # [l_max+1, 2, n_terms]
             rng_nuc = jax.random.fold_in(rng, k)
             quad_pc = get_quadrature_points(
                 rng_nuc, phys_conf.R[nucleus_index], phys_conf

@@ -238,7 +238,7 @@ class ElectronGNN(nn.Module):
         # ghost atoms enter the graph as extra zero-charge nuclei
         if ghost_coords is None:
             self.ghost_coords = None
-            charges, n_nuc = hamil.mol.charges, hamil.n_nuc
+            charges, n_nuc = jnp.asarray(hamil.mol.charges), hamil.n_nuc
             n_atom_types = hamil.mol.n_atom_types
         else:
             self.ghost_coords = jnp.asarray(ghost_coords)

@@ -12,6 +12,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import physics, types
 from .molecule import Molecule
@@ -73,15 +74,17 @@ class MolecularHamiltonian:
         self.mol, self.elec_std, self.ecp_type = mol, elec_std, ecp_type
         self.laplacian = laplacian_factory
 
-        charges = mol.charges
+        # all bookkeeping below is host-side numpy on purpose: device ops in
+        # a constructor cost one RPC dispatch each on a tunneled chip
+        charges = np.asarray(mol.charges)
         self.n_nuc = len(charges)
         if ecp_type is None:
-            mask = jnp.zeros(self.n_nuc, bool)
+            mask = np.zeros(self.n_nuc, bool)
         elif ecp_mask is None:
             mask = charges > 2  # He core and lighter stay all-electron
         else:
             assert len(ecp_mask) == self.n_nuc, 'Incompatible shape of ecp_mask'
-            mask = jnp.asarray(ecp_mask, bool)
+            mask = np.asarray(ecp_mask, bool)
         self.ecp_mask = mask
 
         if mask.any():
@@ -115,6 +118,7 @@ class MolecularHamiltonian:
         (reference hamil.py:152-262).
         """
         assert R.ndim == 2
+        R = jnp.asarray(R)  # callers may pass host-side (numpy) coordinates
         one_walker = lambda key: self.init_single_sample(key, R, elec_std)
         return jax.vmap(one_walker)(jax.random.split(rng, n))
 

@@ -15,8 +15,6 @@ from importlib import resources
 from pathlib import Path
 from typing import ClassVar, Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 import yaml
 
@@ -48,17 +46,20 @@ class Molecule:
 
     all_names: ClassVar[set] = None  # populated lazily below
 
-    coords: jax.Array
-    charges: jax.Array
+    coords: np.ndarray
+    charges: np.ndarray
     charge: int
     spin: int
     data: dict = field(default_factory=dict)
     n_atom_types: int = 0
 
     def __init__(self, *, coords, charges, charge, spin, unit='bohr', data=None):
+        # host-side constants stay numpy: constructing device arrays here
+        # costs one dispatch per molecule (a ~40 ms RPC on a tunneled chip)
+        # and jnp consumers auto-convert at trace time anyway
         to_bohr = {'bohr': null, 'angstrom': angstrom_to_bohr}[unit]
-        object.__setattr__(self, 'coords', to_bohr(jnp.asarray(coords, dtype=float)))
-        object.__setattr__(self, 'charges', jnp.asarray(charges, dtype=float))
+        object.__setattr__(self, 'coords', to_bohr(np.asarray(coords, dtype=float)))
+        object.__setattr__(self, 'charges', np.asarray(charges, dtype=float))
         object.__setattr__(self, 'charge', charge)
         object.__setattr__(self, 'spin', spin)
         object.__setattr__(self, 'data', data or {})

@@ -72,6 +72,7 @@ def pairwise_self_distance(coords: jax.Array, full: bool = False) -> jax.Array:
 
 
 def nuclear_energy(phys_conf: PhysicalConfiguration, ns_valence: jax.Array) -> Energy:
+    ns_valence = jnp.asarray(ns_valence)  # may arrive as host-side numpy
     pair_charges = triu_flat(ns_valence[:, None] * ns_valence)
     return (pair_charges / pairwise_self_distance(phys_conf.R)).sum()
 
@@ -89,7 +90,7 @@ class NuclearCoulombPotential:
 
     def local_potential(self, phys_conf: PhysicalConfiguration) -> Energy:
         dists = pairwise_distance(phys_conf.r, phys_conf.R)
-        return -(self.charges / dists).sum(axis=(-1, -2))
+        return -(jnp.asarray(self.charges) / dists).sum(axis=(-1, -2))
 
     def nonloc_potential(
         self,

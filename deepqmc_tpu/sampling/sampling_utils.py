@@ -73,7 +73,7 @@ def clean_force(force, phys_conf: PhysicalConfiguration, mol: Molecule, *, tau):
     sampling_utils.py:79-101): crossover damping of large forces, then a cap
     so one drift step never overshoots the nearest nucleus."""
     disp, nearest = jax.vmap(diffs_to_nearest_nuc)(phys_conf.r, phys_conf.R)
-    a = crossover_parameter(disp, force, mol.charges[nearest])
+    a = crossover_parameter(disp, force, jnp.asarray(mol.charges)[nearest])
     av2tau = a * jnp.sum(force**2, axis=-1) * tau
     damped = (2 / (jnp.sqrt(1 + 2 * av2tau) + 1))[..., None] * force
     eps = jnp.finfo(phys_conf.r.dtype).eps

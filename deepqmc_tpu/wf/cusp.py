@@ -73,7 +73,7 @@ class NuclearCuspAsymptotic(CuspAsymptotic):
 
     def __init__(self, nuclear_charges, *, alpha=1.0, **kwargs):
         super().__init__(**kwargs)
-        self.nuclear_charges = nuclear_charges[None]  # [1, n_nuc]
+        self.nuclear_charges = jnp.asarray(nuclear_charges)[None]  # [1, n_nuc]
         self.alpha = self.get_alpha(alpha, 'nuc')
 
     def __call__(self, dists):

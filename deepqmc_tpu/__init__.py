@@ -21,6 +21,12 @@ __version__ = '0.1.0'
 # 'high' (3-pass bf16) is ~2x faster on the MXU at near-f32 accuracy.
 import os as _os  # noqa: E402
 
+# honor JAX_PLATFORMS even when a sitecustomize already imported jax with a
+# preregistered accelerator plugin (the env var is only read at jax import,
+# so on such interpreters it would otherwise be silently ignored)
+if _os.environ.get('JAX_PLATFORMS'):
+    jax.config.update('jax_platforms', _os.environ['JAX_PLATFORMS'])
+
 jax.config.update(
     'jax_default_matmul_precision',
     _os.environ.get('DEEPQMC_TPU_MATMUL_PRECISION', 'highest'),

@@ -35,6 +35,7 @@ exception during load falls back to the normal trace+compile path, and any
 exception during save is logged and ignored.
 """
 
+import gzip
 import hashlib
 import logging
 import os
@@ -134,13 +135,13 @@ class AotCache:
     def enabled(self) -> bool:
         return self.cache_dir is not None
 
-    def _entry_path(self, flat_args, base: Path) -> Path:
+    def _entry_path(self, flat_args, base: Path, suffix: str = 'aot') -> Path:
         key = hashlib.sha256()
         key.update(self.description.encode())
         key.update(_env_fingerprint().encode())
         key.update(_avals_fingerprint(flat_args).encode())
         key.update(_source_fingerprint().encode())
-        return base / f'{self.name}-{key.hexdigest()[:24]}.aot'
+        return base / f'{self.name}-{key.hexdigest()[:24]}.{suffix}'
 
     def load(self, *args):
         """Return ``(compiled_fn, meta)`` for these example args, or None.
@@ -158,7 +159,7 @@ class AotCache:
             try:
                 from jax.experimental import serialize_executable
 
-                with open(path, 'rb') as fh:
+                with _open_maybe_gzip(path) as fh:
                     # the stored trees are the jit call-signature treedefs
                     # ((args, kwargs) in, outputs out); entry identity is
                     # guaranteed by the content hash in the file name
@@ -187,13 +188,56 @@ class AotCache:
                 return compiled, meta
             except Exception as exc:  # noqa: BLE001 - cache load must not fail the run
                 log.warning(f'AOT cache entry {path} unusable ({exc!r}); re-tracing')
+        return self._load_exported(flat_args, args)
+
+    def _load_exported(self, flat_args, args):
+        """Second-level hit: a serialized StableHLO export (``.hlo.gz``).
+
+        ~50x smaller than the compiled executable (so it CAN live in a
+        repo-committed ``bench_cache/``); loading skips the minutes-long
+        Python trace of the forward-Laplacian jaxpr and pays only the XLA
+        compile of the restored module.
+        """
+        for base in [self.cache_dir, *self.extra_dirs]:
+            path = self._entry_path(flat_args, base, 'hlo.gz')
+            if not path.exists():
+                continue
+            try:
+                with gzip.open(path, 'rb') as fh:
+                    blob, meta = pickle.load(fh)
+                exported = jax.export.deserialize(blob)
+                compiled = jax.jit(exported.call).lower(*args).compile()
+                jax.block_until_ready(compiled(*args))
+                log.info(f'AOT export hit (recompiled): {path}')
+                return compiled, meta
+            except Exception as exc:  # noqa: BLE001 - cache load must not fail the run
+                log.warning(f'AOT export entry {path} unusable ({exc!r}); re-tracing')
         return None
 
-    def save(self, compiled, meta, *args) -> None:
-        """Persist a ``jax.stages.Compiled`` for these example args."""
+    def save(self, compiled, meta, *args, jitted=None) -> None:
+        """Persist a ``jax.stages.Compiled`` for these example args.
+
+        With ``jitted`` (the original jitted function) provided AND
+        ``DEEPQMC_TPU_AOT_EXPORT`` set, additionally serialize a StableHLO
+        export (``.hlo.gz``) — the small, repo-committable artifact class
+        (it costs a second trace, so it is opt-in for cache population).
+        """
         if not self.enabled:
             return
         flat_args, _ = jax.tree_util.tree_flatten(args)
+        if jitted is not None and os.environ.get(_ENV_PREFIX + 'AOT_EXPORT'):
+            try:
+                blob = jax.export.export(jitted)(*args).serialize()
+                hpath = self._entry_path(flat_args, self.cache_dir, 'hlo.gz')
+                hpath.parent.mkdir(parents=True, exist_ok=True)
+                with gzip.open(hpath, 'wb', compresslevel=6) as fh:
+                    pickle.dump((blob, meta), fh)
+                log.info(
+                    f'AOT-exported {self.name} '
+                    f'({hpath.stat().st_size / 1e6:.1f} MB): {hpath}'
+                )
+            except Exception as exc:  # noqa: BLE001 - cache save must not fail the run
+                log.warning(f'Could not export {self.name}: {exc!r}')
         path = self._entry_path(flat_args, self.cache_dir)
         try:
             from jax.experimental import serialize_executable
@@ -216,3 +260,12 @@ class AotCache:
             )
         except Exception as exc:  # noqa: BLE001 - cache save must not fail the run
             log.warning(f'Could not AOT-cache {self.name}: {exc!r}')
+
+
+def _open_maybe_gzip(path):
+    """Open a cache entry, transparently handling gzip-compressed files."""
+    with open(path, 'rb') as fh:
+        magic = fh.read(2)
+    if magic == b'\x1f\x8b':
+        return gzip.open(path, 'rb')
+    return open(path, 'rb')

@@ -209,7 +209,12 @@ def fit_wf(  # noqa: C901
                     f'compiled in {time.perf_counter() - t1:.0f}s'
                 )
                 aot_cache.save(
-                    fn, {'layout': layout_box['layout']}, rngs, mol_idxs_block, carry
+                    fn,
+                    {'layout': layout_box['layout']},
+                    rngs,
+                    mol_idxs_block,
+                    carry,
+                    jitted=train_block,
                 )
         block_fn_box.update(fn=fn, k=k)
         return fn

@@ -1,8 +1,19 @@
 """Hellmann-Feynman force estimators.
 
-Reference: /root/reference/src/deepqmc/force.py.  Five estimators: the bare
-Coulomb force plus the antithetic-coordinate zero-variance (zv), zero-
-variance-zero-bias (zvzb) and Q-function (zvq/zvzbq) variants.
+Implements the same five estimators as the reference
+(/root/reference/src/deepqmc/force.py — bare Coulomb, antithetic-coordinate
+zero-variance zv/zvzb [10.1063/5.0052266], and Q-function zvq/zvzbq
+[10.1063/1.1621615]) with a TPU-first internal organization:
+
+- nuclear derivatives of the wave function are *directional* tangents taken
+  in log-space with ``jax.jvp`` (the derivative of ``log|psi|`` composes as
+  ``log|d psi| = log|psi| + log|t|`` — no exponentiation of ``log|psi|``);
+- the 3M per-coordinate derivative local energies of the zv estimator are
+  one ``vmap`` over the coordinate basis instead of a sequential
+  ``fori_loop`` — batched work the MXU can tile;
+- the Q-function zero-variance term contracts ``grad_r log|psi|`` against
+  ``grad_r Q`` as a single ``jvp`` instead of materializing the
+  ``[n_nuc, 3, n_elec, 3]`` Jacobian.
 """
 
 from collections.abc import Callable
@@ -17,50 +28,49 @@ from .types import Energy, ParametrizedWaveFunction, Params, PhysicalConfigurati
 __all__ = ()
 
 
-def make_grad_nuc_wf(
-    wf: ParametrizedWaveFunction, i=None, j=None
+def nuclear_log_tangent(
+    wf: ParametrizedWaveFunction,
+    params: Params,
+    phys_conf: PhysicalConfiguration,
+    direction: jax.Array,
+) -> jax.Array:
+    """Directional derivative ``d log|psi| / d R . direction``."""
+    log_of_R = lambda R: wf(params, phys_conf.replace(R=R)).log
+    return jax.jvp(log_of_R, (phys_conf.R,), (direction,))[1]
+
+
+def grad_nuc_log_psi(
+    wf: ParametrizedWaveFunction, params: Params, phys_conf: PhysicalConfiguration
+) -> jax.Array:
+    """``d log|psi| / d R`` as a ``[n_nuc, 3]`` array."""
+    log_of_R = lambda R: wf(params, phys_conf.replace(R=R)).log
+    return jax.grad(log_of_R)(phys_conf.R)
+
+
+def directional_grad_wf(
+    wf: ParametrizedWaveFunction, direction: jax.Array
 ) -> Callable[[Params, PhysicalConfiguration], Psi]:
-    """d psi / d R_ij as a wave-function-like (sign, log) pair."""
-    i = slice(None) if i is None else i
-    j = slice(None) if j is None else j
+    """The wave function ``direction . d psi / d R`` as a (sign, log) pair.
 
-    def grad_nuc_wf(params: Params, phys_conf: PhysicalConfiguration) -> Psi:
-        def _wf(R):
-            psi = wf(params, phys_conf.replace(R=R))
-            return psi.sign * jnp.exp(psi.log)
+    With ``t = direction . d log|psi| / d R`` the derivative factorizes as
+    ``d psi = psi * t``, so the log-representation composes additively and
+    ``psi`` itself is never exponentiated.
+    """
 
-        grad_psi = jax.grad(_wf)(phys_conf.R)[i, j]
-        return Psi(jnp.sign(grad_psi), jnp.log(jnp.abs(grad_psi)))
+    def dwf(params: Params, phys_conf: PhysicalConfiguration) -> Psi:
+        psi, t = jax.jvp(
+            lambda R: wf(params, phys_conf.replace(R=R)),
+            (phys_conf.R,),
+            (direction,),
+        )
+        return Psi(psi.sign * jnp.sign(t.log), psi.log + jnp.log(jnp.abs(t.log)))
 
-    return grad_nuc_wf
-
-
-def make_grad_nuc_log_wf(wf: ParametrizedWaveFunction):
-    """d log|psi| / d R."""
-
-    def grad_nuc_log_wf(params: Params, phys_conf: PhysicalConfiguration):
-        def _wf(R):
-            return wf(params, phys_conf.replace(R=R)).log
-
-        return jax.grad(_wf)(phys_conf.R)
-
-    return grad_nuc_log_wf
-
-
-def make_grad_log_wf(wf: ParametrizedWaveFunction):
-    """d log|psi| / d r."""
-
-    def grad_log_wf(params: Params, phys_conf: PhysicalConfiguration):
-        def _wf(r):
-            return wf(params, phys_conf.replace(r=r)).log
-
-        return jax.grad(_wf)(phys_conf.r)
-
-    return grad_log_wf
+    return dwf
 
 
 def Q(r: jax.Array, R: jax.Array, c: jax.Array) -> jax.Array:
     """The Q function of [Assaraf & Caffarel, 10.1063/1.1621615]."""
+    c = jnp.asarray(c)
     dists = r[None] - R[:, None]
     force = c[:, None, None] * dists / jnp.linalg.norm(dists, axis=-1, keepdims=True)
     return force.sum(-2)
@@ -68,7 +78,7 @@ def Q(r: jax.Array, R: jax.Array, c: jax.Array) -> jax.Array:
 
 def evaluate_hf_force_bare(hamil: MolecularHamiltonian):
     """Bare (high-variance) Coulomb estimator of the HF force."""
-    charges_nuc = hamil.mol.charges
+    charges_nuc = jnp.asarray(hamil.mol.charges)
     charges_elec = -jnp.ones(hamil.n_up + hamil.n_down)
 
     def bare(params: Params, phys_conf: PhysicalConfiguration) -> jax.Array:
@@ -83,73 +93,78 @@ def evaluate_hf_force_bare(hamil: MolecularHamiltonian):
 
 def evaluate_hf_force_ac_zv(hamil: MolecularHamiltonian, wf: ParametrizedWaveFunction):
     """Antithetic-coordinate zero-variance estimator [10.1063/5.0052266]."""
-    n_nuc = len(hamil.mol.coords)
+    n_coord = 3 * len(hamil.mol.coords)
     bare = evaluate_hf_force_bare(hamil)
 
     def zv(params: Params, phys_conf: PhysicalConfiguration) -> jax.Array:
+        R_shape = phys_conf.R.shape
         f_bare = bare(params, phys_conf)
-        grad_log_psi = make_grad_nuc_log_wf(wf)(params, phys_conf)
+        grad_log_psi = grad_nuc_log_psi(wf, params, phys_conf)
         e_loc, _ = hamil.local_energy(wf)(None, params, phys_conf)
 
-        def local_energy_grad_wf_i(i, val):
+        def eloc_of_direction(e):
             # rng=None: force estimators are not implemented for ECPs
-            eloc_ij, _ = hamil.local_energy(make_grad_nuc_wf(wf, i // 3, i % 3))(
-                None, params, phys_conf
-            )
-            return val.at[i // 3, i % 3].set(eloc_ij)
+            dwf = directional_grad_wf(wf, e.reshape(R_shape))
+            eloc_e, _ = hamil.local_energy(dwf)(None, params, phys_conf)
+            return eloc_e
 
-        e_loc_grad_psi = jax.lax.fori_loop(
-            0, n_nuc * 3, local_energy_grad_wf_i, jnp.zeros_like(phys_conf.R)
-        )
-        return f_bare - (e_loc_grad_psi - e_loc) * grad_log_psi
+        # one batched pass over the 3M coordinate directions
+        e_loc_grad_psi = jax.vmap(eloc_of_direction)(jnp.eye(n_coord))
+        return f_bare - (e_loc_grad_psi.reshape(R_shape) - e_loc) * grad_log_psi
 
     return zv
+
+
+def evaluate_hf_force_ac_zvq(hamil: MolecularHamiltonian, wf: ParametrizedWaveFunction):
+    """Q-function zero-variance estimator [10.1063/1.1621615]."""
+    charges = jnp.asarray(hamil.mol.charges)
+
+    def zvq(params: Params, phys_conf: PhysicalConfiguration) -> jax.Array:
+        grad_log_psi = jax.grad(
+            lambda r: wf(params, phys_conf.replace(r=r)).log
+        )(phys_conf.r)
+        # sum_i grad_{r_i} log|psi| . grad_{r_i} Q == jvp of Q along the force
+        zv_term = jax.jvp(
+            lambda r: Q(r, phys_conf.R, charges), (phys_conf.r,), (grad_log_psi,)
+        )[1]
+        force_nuc = coulomb_force(phys_conf.R, phys_conf.R, charges, charges, True)
+        return zv_term + force_nuc
+
+    return zvq
+
+
+def _with_zero_bias(zv_factory, grad_fn):
+    """Extend a ZV estimator with the ZB term ``-2 (E_loc - E) * g``.
+
+    ``grad_fn(params, phys_conf) -> [n_nuc, 3]`` supplies the estimator's
+    derivative field (``d log|psi| / d R`` for zvzb, ``Q`` for zvzbq).
+    """
+
+    def zvzb(
+        params: Params, phys_conf: PhysicalConfiguration, e_loc: Energy, energy: Energy
+    ) -> jax.Array:
+        f_zv = zv_factory(params, phys_conf)
+        return f_zv - 2 * (e_loc - energy) * grad_fn(params, phys_conf)
+
+    return zvzb
 
 
 def evaluate_hf_force_ac_zvzb(
     hamil: MolecularHamiltonian, wf: ParametrizedWaveFunction
 ):
     """Zero-variance zero-bias estimator [10.1063/5.0052266]."""
-
-    def zvzb(
-        params: Params, phys_conf: PhysicalConfiguration, e_loc: Energy, energy: Energy
-    ) -> jax.Array:
-        f_zv = evaluate_hf_force_ac_zv(hamil, wf)(params, phys_conf)
-        grad_nuc_log_psi = make_grad_nuc_log_wf(wf)(params, phys_conf)
-        f_zb = -2 * (e_loc - energy)[None, None] * grad_nuc_log_psi
-        return f_zv + f_zb
-
-    return zvzb
-
-
-def evaluate_hf_force_ac_zvq(hamil: MolecularHamiltonian, wf: ParametrizedWaveFunction):
-    """Q-function zero-variance estimator [10.1063/1.1621615]."""
-
-    def zvq(params: Params, phys_conf: PhysicalConfiguration) -> jax.Array:
-        grad_Q = jax.jacfwd(Q)(phys_conf.r, phys_conf.R, hamil.mol.charges)
-        grad_log_psi = make_grad_log_wf(wf)(params, phys_conf)
-        force_nuc = coulomb_force(
-            phys_conf.R, phys_conf.R, hamil.mol.charges, hamil.mol.charges, True
-        )
-        return (grad_log_psi[None, None] * grad_Q).sum((-1, -2)) + force_nuc
-
-    return zvq
+    return _with_zero_bias(
+        evaluate_hf_force_ac_zv(hamil, wf),
+        lambda params, phys_conf: grad_nuc_log_psi(wf, params, phys_conf),
+    )
 
 
 def evaluate_hf_force_ac_zvzbq(
     hamil: MolecularHamiltonian, wf: ParametrizedWaveFunction
 ):
     """Q-function zero-variance zero-bias estimator [10.1063/1.1621615]."""
-
-    def zvzbq(
-        params: Params, phys_conf: PhysicalConfiguration, e_loc: Energy, energy: Energy
-    ) -> jax.Array:
-        f_zv = evaluate_hf_force_ac_zvq(hamil, wf)(params, phys_conf)
-        f_zb = (
-            -2
-            * (e_loc - energy)[None, None]
-            * Q(phys_conf.r, phys_conf.R, hamil.mol.charges)
-        )
-        return f_zv + f_zb
-
-    return zvzbq
+    charges = jnp.asarray(hamil.mol.charges)
+    return _with_zero_bias(
+        evaluate_hf_force_ac_zvq(hamil, wf),
+        lambda params, phys_conf: Q(phys_conf.r, phys_conf.R, charges),
+    )

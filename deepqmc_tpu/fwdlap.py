@@ -266,9 +266,33 @@ def _div_rule(eqn, invals, n):
     return [FL(y, jac, lap)]
 
 
+def _jac_matmul_bf16() -> bool:
+    """Run Jacobian-channel ``dot_general``s natively in bf16 on the MXU.
+
+    The jac channel is already *stored* bf16 (:func:`_jac_store_dtype`);
+    upcasting it to f32 for a matmul pinned at precision 'highest' costs a
+    6-pass bf16 decomposition on the MXU.  Feeding the bf16 values straight
+    in (other operand downcast, f32 accumulation) does the same contraction
+    in ONE MXU pass with no extra rounding on the already-bf16 operand.
+    The primal and Laplacian contractions are never downcast.  Gated like
+    the storage lever: ``DEEPQMC_TPU_JAC_MATMUL=bf16`` opts in, ``f32``
+    opts out.  Default OFF until the LiH convergence A/B gates a promotion
+    (the bf16-storage lever's promotion discipline, docs/PERF.md).
+    """
+    import os
+
+    name = os.environ.get('DEEPQMC_TPU_JAC_MATMUL', '').lower()
+    if name in ('bf16', 'bfloat16'):
+        return True
+    return False
+
+
 def _dot_general_rule(eqn, invals, n):
+    # dispatched WITHOUT the pre-rule jac upcast (registered under the
+    # primitive object): the jac-side contractions choose their own dtype
     a, b = invals
     params = eqn.params
+    ct = jnp.result_type(a.x, b.x)
 
     def dot(x, y):
         return lax.dot_general(
@@ -279,17 +303,35 @@ def _dot_general_rule(eqn, invals, n):
             preferred_element_type=params.get('preferred_element_type'),
         )
 
+    low = _jac_matmul_bf16() and any(
+        v.jac is not None
+        and hasattr(v.jac, 'dtype')
+        and v.jac.dtype == jnp.bfloat16
+        for v in (a, b)
+    )
+
+    def jdot(x, y):
+        if low:
+            return lax.dot_general(
+                x.astype(jnp.bfloat16),
+                y.astype(jnp.bfloat16),
+                dimension_numbers=params['dimension_numbers'],
+                precision=lax.Precision.DEFAULT,
+                preferred_element_type=ct,
+            )
+        return dot(x.astype(ct), y.astype(ct))
+
     y = dot(a.x, b.x)
     jac = 0
     lap = 0
     if a.jac is not None:
-        jac = jac + jax.vmap(lambda ja: dot(ja, b.x))(a.jac)
-        lap = lap + dot(_lap_of(a), b.x)
+        jac = jac + jax.vmap(lambda ja: jdot(ja, b.x))(a.jac)
+        lap = lap + dot(_lap_of(a).astype(ct), b.x)
     if b.jac is not None:
-        jac = jac + jax.vmap(lambda jb: dot(a.x, jb))(b.jac)
-        lap = lap + dot(a.x, _lap_of(b))
+        jac = jac + jax.vmap(lambda jb: jdot(a.x, jb))(b.jac)
+        lap = lap + dot(a.x, _lap_of(b).astype(ct))
     if a.jac is not None and b.jac is not None:
-        cross = jax.vmap(dot)(a.jac, b.jac).sum(axis=0)
+        cross = jax.vmap(jdot)(a.jac, b.jac).sum(axis=0)
         lap = lap + 2 * cross
     return [FL(y, jac, lap)]
 
@@ -1033,7 +1075,9 @@ def _interpret(jaxpr, consts, args, n):
 RULES['mul'] = _mul_rule
 RULES['div'] = _div_rule
 RULES['pow'] = _pow_rule
-RULES['dot_general'] = _dot_general_rule
+# registered under the primitive OBJECT: the dispatch loop skips the
+# pre-rule jac upcast for these, letting the rule pick jac-matmul dtypes
+RULES[lax.dot_general_p] = _dot_general_rule
 RULES['integer_pow'] = _integer_pow_rule
 RULES['stop_gradient'] = _stop_gradient_rule
 RULES[slogdet_p] = _slogdet_rule

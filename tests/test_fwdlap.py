@@ -179,3 +179,23 @@ def test_forward_laplacian_under_vmap_and_jit(helpers):
         )(pc.r.flatten())[0]
     )(pcs)
     np.testing.assert_allclose(np.asarray(lap), np.asarray(lap_ref), rtol=1e-7)
+
+
+def test_jac_matmul_bf16_gate(helpers, monkeypatch):
+    """DEEPQMC_TPU_JAC_MATMUL=bf16 must keep the Laplacian within bf16
+    tolerance of the full-precision result (and leave the primal exact)."""
+    w1 = jax.random.normal(helpers.rng(10), (6, 16)).astype(jnp.float32)
+    w2 = jax.random.normal(helpers.rng(11), (16, 1)).astype(jnp.float32)
+    x = jax.random.normal(helpers.rng(12), (6,)).astype(jnp.float32)
+    f32 = lambda y: jnp.tanh(jnp.tanh(y.astype(jnp.float32) @ w1) @ w2).sum()
+    lap_ref, grad_ref = forward_laplacian(f32)(x)
+    monkeypatch.setenv('DEEPQMC_TPU_JAC_DTYPE', 'bf16')
+    monkeypatch.setenv('DEEPQMC_TPU_JAC_MATMUL', 'bf16')
+    lap_lo, grad_lo = forward_laplacian(f32)(x)
+    assert np.asarray(grad_lo).dtype == np.float32  # upcast on exit
+    np.testing.assert_allclose(
+        np.asarray(grad_lo), np.asarray(grad_ref), rtol=0.05, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(lap_lo), np.asarray(lap_ref), rtol=0.05, atol=1e-2
+    )

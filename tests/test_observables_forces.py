@@ -67,6 +67,44 @@ def test_force_estimators_finite(h2_setup):
         assert np.isfinite(np.asarray(f)).all()
 
 
+def test_directional_grad_wf_matches_direct_gradient(h2_setup):
+    """(sign, log) of d psi/dR_ij from the log-space jvp must equal the
+    direct gradient of psi = sign * exp(log)."""
+    from deepqmc_tpu.force import directional_grad_wf
+
+    hamil, pc = h2_setup
+    wf = simple_wf()
+
+    def psi_val(R):
+        p = wf({}, pc.replace(R=R))
+        return p.sign * jnp.exp(p.log)
+
+    grad_psi = np.asarray(jax.grad(psi_val)(pc.R))
+    for i in range(2):
+        for j in range(3):
+            e = jnp.zeros((2, 3)).at[i, j].set(1.0)
+            d = directional_grad_wf(wf, e)({}, pc)
+            val = float(d.sign * jnp.exp(d.log))
+            assert np.isclose(val, grad_psi[i, j], rtol=1e-6), (i, j)
+
+
+def test_zvq_contraction_matches_jacobian(h2_setup):
+    """The jvp-based ZV term must equal the explicit grad-Q contraction."""
+    from deepqmc_tpu.force import Q, evaluate_hf_force_ac_zvq
+    from deepqmc_tpu.physics import coulomb_force
+
+    hamil, pc = h2_setup
+    wf = simple_wf()
+    f = np.asarray(evaluate_hf_force_ac_zvq(hamil, wf)({}, pc))
+    charges = jnp.asarray(hamil.mol.charges)
+    grad_Q = jax.jacfwd(lambda r: Q(r, pc.R, charges))(pc.r)
+    grad_log_psi = jax.grad(lambda r: wf({}, pc.replace(r=r)).log)(pc.r)
+    expected = (grad_Q * grad_log_psi[None, None]).sum((-1, -2)) + coulomb_force(
+        pc.R, pc.R, charges, charges, True
+    )
+    assert np.allclose(f, np.asarray(expected), rtol=1e-6)
+
+
 def test_oscillator_strength_shapes(helpers):
     rng = np.random.default_rng(0)
     n_states, n = 3, 200

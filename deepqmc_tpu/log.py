@@ -12,6 +12,7 @@ import os
 import pickle
 import re
 import sys
+import time
 from functools import partial
 from itertools import product
 from pathlib import Path
@@ -165,7 +166,23 @@ class H5Logger:
         # note: unlike the reference (log.py:215-216) we do not enable SWMR
         # mode — a killed run would leave the SWMR consistency flag set and
         # block every subsequent append-mode open of result.h5
-        self.h5file = h5py.File(os.path.join(workdir, 'result.h5'), 'a', libver='v110')
+        path = os.path.join(workdir, 'result.h5')
+        try:
+            self.h5file = h5py.File(path, 'a', libver='v110')
+        except OSError as exc:
+            # a SIGKILLed run leaves the HDF5 write-lock consistency flag
+            # set in the superblock and every later append-open fails; the
+            # partial log of a crashed run is not worth blocking a restart,
+            # so move it aside and start fresh
+            if 'already open for write' not in str(exc) or not os.path.exists(path):
+                raise
+            stale = f'{path}.stale-{int(time.time())}'
+            os.replace(path, stale)
+            log.warning(
+                f'{path} carried a stale HDF5 write lock (crashed run?); '
+                f'moved it to {stale} and starting a fresh log'
+            )
+            self.h5file = h5py.File(path, 'a', libver='v110')
         for k, v in (aux_data or {}).items():
             self.h5file.attrs.create(k, v)
         self.table = H5LogTable(self.h5file)

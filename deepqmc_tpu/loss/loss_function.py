@@ -222,43 +222,51 @@ class VMCLoss:
             jnp.ones((), local_energy.dtype)
         )
 
-        # pull c back to parameter space: one vjp of log|psi| per state
+        # pull c back to parameter space: one vjp of log|psi| per state.
+        # The whole pullback runs under the gradient matmul-precision
+        # context (utils.grad_precision_ctx): its forward AND transposed
+        # matmuls feed only the stochastic gradient + curvature taps.
+        from ..utils import grad_precision_ctx
+
         grads, taps = [], []
-        for i, state_params in enumerate(params):
-            conf_i = _state_phys_conf(phys_conf, i)
-            cot_i = cotangent[:, i].reshape(-1)
-            if taps_spec is None:
-                _, pullback = jax.vjp(
-                    partial(_batched_log_psi, self.ansatz, conf_i), state_params
+        with grad_precision_ctx():
+            for i, state_params in enumerate(params):
+                grad_i, tap_i = self._pull_back_state(
+                    params, phys_conf, cotangent, taps_spec, i
                 )
-                (grad_i,) = pullback(cot_i)
-            else:
-                perturb = {
-                    path: [
-                        jnp.zeros((len(cot_i), *shape)) for shape in shapes
-                    ]
-                    for path, shapes in taps_spec.items()
-                }
-
-                def fwd(p, pert, conf_i=conf_i):
-                    def single(pc, pert_1):
-                        psi, caps = self.ansatz.apply_instrumented(p, pert_1, pc)
-                        return psi.log, {
-                            k: [x for x, _ in v] for k, v in caps.items()
-                        }
-
-                    return jax.vmap(single)(conf_i, pert)
-
-                (_, pullback, captures) = jax.vjp(
-                    fwd, state_params, perturb, has_aux=True
-                )
-                grad_i, _ = pullback(cot_i)
-                # same residuals, all-ones cotangent: d sum(log psi) / d pert
-                _, sensitivities = pullback(jnp.ones_like(cot_i))
-                taps.append((captures, sensitivities))
-            grads.append(grad_i)
+                grads.append(grad_i)
+                if tap_i is not None:
+                    taps.append(tap_i)
 
         return (loss, (local_energy, psi_ratio, stats)), grads, taps
+
+    def _pull_back_state(self, params, phys_conf, cotangent, taps_spec, i):
+        state_params = params[i]
+        conf_i = _state_phys_conf(phys_conf, i)
+        cot_i = cotangent[:, i].reshape(-1)
+        if taps_spec is None:
+            _, pullback = jax.vjp(
+                partial(_batched_log_psi, self.ansatz, conf_i), state_params
+            )
+            (grad_i,) = pullback(cot_i)
+            return grad_i, None
+        perturb = {
+            path: [jnp.zeros((len(cot_i), *shape)) for shape in shapes]
+            for path, shapes in taps_spec.items()
+        }
+
+        def fwd(p, pert, conf_i=conf_i):
+            def single(pc, pert_1):
+                psi, caps = self.ansatz.apply_instrumented(p, pert_1, pc)
+                return psi.log, {k: [x for x, _ in v] for k, v in caps.items()}
+
+            return jax.vmap(single)(conf_i, pert)
+
+        (_, pullback, captures) = jax.vjp(fwd, state_params, perturb, has_aux=True)
+        grad_i, _ = pullback(cot_i)
+        # same residuals, all-ones cotangent: d sum(log psi) / d pert
+        _, sensitivities = pullback(jnp.ones_like(cot_i))
+        return grad_i, (captures, sensitivities)
 
 
 def create_loss_fn(

@@ -115,13 +115,29 @@ def equilibrate(
 
     window = block_size * n_blocks
     series: list[float] = []
+    # second guard: the |psi|-distribution itself.  The geometric criterion
+    # (mean pairwise distance) can stabilize while the walker ensemble is
+    # still migrating out of a fat low-|psi| tail — the documented +420 mHa
+    # evaluation artifact (docs/evidence/accuracy_notes.md) — so early
+    # stopping also requires the walker log|psi| SPREAD series to stabilize.
+    psi_series: list[float] = []
     for step, rng_step in zip(steps, rng_iterator(rng)):
         mol_idxs = molecule_idx_sampler.sample()
         state, phys_conf, stats = sample_wf(rng_step, state, params, mol_idxs)
         yield step, state, mol_idxs, stats
         if allow_early_stopping:
             series = [*series[-window + 1 :], criterion(phys_conf).item()]
-            if len(series) == window and stabilized(series):
+            spread = stats.get('sampling/log_psi/std')
+            if spread is not None:
+                psi_series = [
+                    *psi_series[-window + 1 :],
+                    jnp.asarray(spread).mean().item(),
+                ]
+            if (
+                len(series) == window
+                and stabilized(series)
+                and (not psi_series or stabilized(psi_series))
+            ):
                 break
 
 

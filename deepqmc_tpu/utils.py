@@ -45,6 +45,24 @@ def sampling_precision_ctx():
     return jax.default_matmul_precision(label)
 
 
+def grad_precision_ctx():
+    """Matmul-precision context for the VMC-gradient vjp.
+
+    The log-psi pullback (one forward + two backwards of every dense/
+    attention layer per step) feeds only the stochastic gradient estimator
+    and the KFAC curvature taps — quantities with O(1/sqrt(walkers))
+    sampling noise, far above the 3-pass-bf16 'high' mode's ~1e-6 rounding.
+    The local-energy path is unaffected (it stays 'highest').  Override with
+    DEEPQMC_TPU_GRAD_PRECISION=(highest|high|default) or 'inherit'; the
+    default stays 'inherit' (= the global 'highest' pin) until the LiH
+    convergence A/B gates a promotion.  CPU ignores matmul precision.
+    """
+    label = os.environ.get('DEEPQMC_TPU_GRAD_PRECISION', 'inherit')
+    if label == 'inherit':
+        return nullcontext()
+    return jax.default_matmul_precision(label)
+
+
 def flatten(x: jax.Array, start_axis: int = 0) -> jax.Array:
     return x.reshape(*x.shape[:start_axis], -1)
 

@@ -179,3 +179,56 @@ def test_full_sampling_stack(setup, helpers):
     ):
         n_steps += 1
     assert 0 < n_steps <= 100
+
+
+def test_equilibrate_waits_for_psi_spread_stabilization():
+    """Early stopping must be vetoed while the walker log|psi| spread is
+    still drifting, even when the geometric criterion has stabilized —
+    regression for the fat low-|psi|-tail evaluation artifact
+    (docs/evidence/accuracy_notes.md)."""
+    import jax.numpy as jnp
+
+    from deepqmc_tpu.sampling.sampling_utils import equilibrate
+
+    class StubIdxSampler:
+        def sample(self):
+            return jnp.array([0])
+
+    class StubSampler:
+        """Criterion series: stationary noise.  log|psi| std: configurable."""
+
+        def __init__(self, drift):
+            self.drift = drift
+
+        def sample(self, rng, state, params, mol_idxs):
+            i = state['i']
+            noise = 1e-3 * jnp.sin(12.9898 * i)
+            spread = 0.1 * i if self.drift else 1.0 + noise
+            return (
+                {'i': i + 1},
+                i.astype(float) + noise,  # "phys_conf" consumed by criterion
+                {'sampling/log_psi/std': spread},
+            )
+
+    def run(drift, max_steps=60):
+        n = 0
+        for n, (step, *_rest) in enumerate(
+            equilibrate(
+                jax.random.PRNGKey(0),
+                {},
+                StubIdxSampler(),
+                StubSampler(drift),
+                {'i': jnp.array(0)},
+                lambda i: 1e-3 * jnp.sin(78.233 * i),  # stationary
+                range(max_steps),
+                block_size=2,
+                n_blocks=5,
+            ),
+            1,
+        ):
+            pass
+        return n
+
+    window = 2 * 5
+    assert run(drift=False) < 25  # stationary psi spread -> early stop
+    assert run(drift=True) == 60  # drifting psi spread -> veto, run out

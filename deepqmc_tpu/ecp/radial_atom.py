@@ -214,3 +214,100 @@ def solve_atom(
         e_components={'band': float(e_band), 'hartree': float(e_h), 'x': float(e_x)},
         p_density=p_density,
     )
+
+
+def solve_atom_spin(
+    z,
+    occs_up,
+    occs_down,
+    ecp_params=None,
+    rmin=5e-4,
+    rmax=60.0,
+    n_grid=1600,
+    mix=0.35,
+    tol=1e-9,
+    max_iter=400,
+):
+    """Spin-polarized (exchange-only LSDA) variant of :func:`solve_atom`.
+
+    One level above the restricted solver on exactly the axis where it is
+    least trustworthy: open shells (e.g. N 2p^3, where Hund polarization is
+    maximal).  Each spin channel sees its own Dirac exchange
+    ``v_x^sigma = (4/3) C_X (2 rho_sigma)^(1/3)``; the Hartree term couples
+    through the total density.  Reduces exactly to :func:`solve_atom` for
+    closed shells split evenly (tests/test_radial_atom.py).
+
+    ``occs_up`` / ``occs_down``: {l: [f_0, f_1, ...]} per spin.
+    Returns (AtomSolution, eigenvalues_by_spin) where eigenvalues_by_spin =
+    ({(l, n): eps} for up, same for down).
+    """
+    h, r = _log_grid(rmin, rmax, n_grid)
+    all_l = sorted(set(occs_up) | set(occs_down))
+    if ecp_params is None:
+        v_ext_by_l = {l: -z / r for l in all_l}
+    else:
+        v_loc, u_l, _ = ecp_channel_potentials(r, z, ecp_params)
+        v_ext_by_l = {l: v_loc + (u_l[l] if l < len(u_l) else 0.0) for l in all_l}
+
+    spins = ({l: list(fs) for l, fs in occs.items()} for occs in (occs_up, occs_down))
+    spins = tuple(spins)
+
+    # hydrogenic initial densities
+    p_spin = []
+    for occs in spins:
+        p = np.zeros_like(r)
+        for l, fs in occs.items():
+            if fs:
+                _, u = _solve_channel(h, r, l, v_ext_by_l[l], len(fs))
+                for n, f in enumerate(fs):
+                    p += f * u[:, n] ** 2
+        p_spin.append(p)
+
+    eigenvalues = [{}, {}]
+    orbitals = [{}, {}]
+    e_prev, converged, it = np.inf, False, 0
+    for it in range(1, max_iter + 1):
+        p_total = p_spin[0] + p_spin[1]
+        v_h = _hartree(h, r, p_total)
+        dr = r * h
+        new_p = [np.zeros_like(r), np.zeros_like(r)]
+        e_band, e_vx, e_x = 0.0, 0.0, 0.0
+        for s, occs in enumerate(spins):
+            rho_s = p_spin[s] / (4.0 * np.pi * r**2)
+            v_x = (4.0 / 3.0) * _CX * (2.0 * rho_s) ** (1.0 / 3.0)
+            for l, fs in occs.items():
+                if not fs:
+                    continue
+                eps, u = _solve_channel(h, r, l, v_ext_by_l[l] + v_h + v_x, len(fs))
+                for n, f in enumerate(fs):
+                    eigenvalues[s][(l, n)] = float(eps[n])
+                    orbitals[s][(l, n)] = u[:, n]
+                    new_p[s] += f * u[:, n] ** 2
+                    e_band += f * eps[n]
+            e_vx += np.sum(v_x * p_spin[s] * dr)
+            e_x += 0.5 * _CX * np.sum(
+                (2.0 * rho_s) ** (4.0 / 3.0) * 4.0 * np.pi * r**2 * dr
+            )
+        e_h = 0.5 * np.sum(v_h * p_total * dr)
+        e_total = e_band - e_h - e_vx + e_x
+        if abs(e_total - e_prev) < tol and it > 4:
+            converged = True
+            p_spin = new_p
+            break
+        e_prev = e_total
+        p_spin = [
+            (1.0 - mix) * p + mix * q for p, q in zip(p_spin, new_p)
+        ]
+
+    solution = AtomSolution(
+        e_total=float(e_total),
+        eigenvalues=eigenvalues[0],
+        orbitals=orbitals[0],
+        r=r,
+        occs={'up': spins[0], 'down': spins[1]},
+        iterations=it,
+        converged=converged,
+        e_components={'band': float(e_band), 'hartree': float(e_h), 'x': float(e_x)},
+        p_density=p_spin[0] + p_spin[1],
+    )
+    return solution, (eigenvalues[0], eigenvalues[1])

@@ -42,6 +42,35 @@ VARIANTS = {
         },
         'inv_period': 5,
     },
+    # round-4 levers, each stacked on the current production defaults:
+    # native-bf16 MXU jac contractions (fwdlap.py _jac_matmul_bf16)
+    'jacmm_bf16': {
+        'env': {
+            'DEEPQMC_TPU_SAMPLING_PRECISION': 'high',
+            'DEEPQMC_TPU_JAC_DTYPE': 'bf16',
+            'DEEPQMC_TPU_JAC_MATMUL': 'bf16',
+        },
+        'inv_period': 5,
+    },
+    # 3-pass-bf16 matmuls in the VMC-gradient vjp (utils.grad_precision_ctx)
+    'grad_high': {
+        'env': {
+            'DEEPQMC_TPU_SAMPLING_PRECISION': 'high',
+            'DEEPQMC_TPU_JAC_DTYPE': 'bf16',
+            'DEEPQMC_TPU_GRAD_PRECISION': 'high',
+        },
+        'inv_period': 5,
+    },
+    # both round-4 levers together (the promotion candidate)
+    'r4_all': {
+        'env': {
+            'DEEPQMC_TPU_SAMPLING_PRECISION': 'high',
+            'DEEPQMC_TPU_JAC_DTYPE': 'bf16',
+            'DEEPQMC_TPU_JAC_MATMUL': 'bf16',
+            'DEEPQMC_TPU_GRAD_PRECISION': 'high',
+        },
+        'inv_period': 5,
+    },
 }
 
 REFERENCE = -8.07000  # reference doc/tutorial.rst:153

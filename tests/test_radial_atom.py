@@ -93,3 +93,29 @@ def test_fit_recovers_perturbed_carbon_table():
         grid_kwargs={'n_grid': 900, 'rmin': 1e-5},
     )
     assert np.all(np.abs(res) < 5e-3)
+
+
+def test_spin_solver_restricted_limit():
+    """Closed shells split evenly across spins must reproduce the
+    restricted solver exactly (LSDA exchange reduces to LDA there)."""
+    from deepqmc_tpu.ecp.radial_atom import solve_atom, solve_atom_spin
+
+    restricted = solve_atom(4, {0: [2, 2]}, n_grid=900)
+    spin, (up, down) = solve_atom_spin(4, {0: [1, 1]}, {0: [1, 1]}, n_grid=900)
+    assert spin.converged
+    assert abs(restricted.e_total - spin.e_total) < 1e-8
+    for k, eps in restricted.eigenvalues.items():
+        assert abs(up[k] - eps) < 1e-8
+        assert abs(down[k] - eps) < 1e-8
+
+
+def test_spin_solver_hund_polarization():
+    """Open-shell N: majority-spin eigenvalues must lie below minority
+    (exchange stabilizes the polarized channel)."""
+    from deepqmc_tpu.ecp.radial_atom import solve_atom_spin
+
+    sol, (up, down) = solve_atom_spin(
+        7, {0: [1, 1], 1: [3]}, {0: [1, 1]}, n_grid=900
+    )
+    assert sol.converged
+    assert up[(0, 1)] < down[(0, 1)]  # 2s up below 2s down

@@ -100,13 +100,26 @@ def mha_core_fl(q, k, v, Jq, Jk, Jv, Lq, Lk, Lv):
     return t, Jt, Lt
 
 
-def _bmm(a, b, contract):
+def _bmm(a, b, contract, low=False):
     """Walker-batched matmul: contract one dim, batch the leading dim.
 
     Precision is pinned to HIGHEST (true f32): Mosaic only lowers
     DEFAULT/HIGHEST, so the kernel must not inherit a global 'high' default,
     and the attention logits/Laplacian cross terms want full f32 anyway.
+
+    ``low=True`` (jac-channel contractions under the
+    ``DEEPQMC_TPU_JAC_MATMUL=bf16`` lever): both operands truncate to bf16
+    and the MXU runs ONE native bf16 pass with f32 accumulation instead of
+    the 6-pass f32 decomposition — the jac values were bf16 in HBM anyway.
     """
+    if low:
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16),
+            b.astype(jnp.bfloat16),
+            ((contract[0], contract[1]), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
     return jax.lax.dot_general(
         a, b, ((contract[0], contract[1]), ((0,), (0,))),
         preferred_element_type=a.dtype,
@@ -141,8 +154,16 @@ def _mha_core_fl_2d(q, k, v, Jq, Jk, Jv, Lq, Lk, Lv):
     return t, jt, lt
 
 
+def _jac_bmm_low(dtype) -> bool:
+    """Native-bf16 MXU mode for the K-scaled jac contractions (f32 only)."""
+    from ..fwdlap import _jac_matmul_bf16
+
+    return _jac_matmul_bf16() and jnp.dtype(dtype) == jnp.float32
+
+
 def _make_head_fn(W, n, K, dh, dtype):
     scale = jnp.asarray(1.0, dtype) / jnp.sqrt(jnp.asarray(dh, dtype))
+    low = _jac_bmm_low(dtype)
 
     def bcast(x):
         """[W, n, d] -> [W*K, n, d]: replicate the primal per direction."""
@@ -153,7 +174,10 @@ def _make_head_fn(W, n, K, dh, dtype):
     def per_head(qh, kh, vh, jqh, jkh, jvh, lqh, lkh, lvh):
         # every contraction is a (W- or W*K-)batched single-dim dot_general;
         # primals are broadcast across the direction axis so NO transposes
-        # (Mosaic relayouts dominated earlier formulations) appear at all
+        # (Mosaic relayouts dominated earlier formulations) appear at all.
+        # The K-scaled jac contractions (the kernel's FLOPs bulk) run in
+        # native bf16 under the jac-matmul lever; primal/Laplacian dots
+        # (1/K of the work) stay full f32.
         q_b, k_b, v_b = bcast(qh), bcast(kh), bcast(vh)
         jq_m = jqh.reshape(W * K, n, dh)
         jk_m = jkh.reshape(W * K, n, dh)
@@ -163,10 +187,10 @@ def _make_head_fn(W, n, K, dh, dtype):
 
         z = _bmm(qh, kh, ((2,), (2,))) * scale  # [W, i, j]
         jz = (
-            _bmm(jq_f, kh, ((2,), (2,))).reshape(W, K, n, n)
-            + _bmm(q_b, jk_m, ((2,), (2,))).reshape(W, K, n, n)
+            _bmm(jq_f, kh, ((2,), (2,)), low).reshape(W, K, n, n)
+            + _bmm(q_b, jk_m, ((2,), (2,)), low).reshape(W, K, n, n)
         ) * scale
-        cross_z = _bmm(jq_m, jk_m, ((2,), (2,))).reshape(W, K, n, n).sum(1)
+        cross_z = _bmm(jq_m, jk_m, ((2,), (2,)), low).reshape(W, K, n, n).sum(1)
         lz = (
             _bmm(lqh, kh, ((2,), (2,)))
             + _bmm(qh, lkh, ((2,), (2,)))
@@ -179,12 +203,12 @@ def _make_head_fn(W, n, K, dh, dtype):
 
         t = _bmm(a, vh, ((2,), (1,)))  # [W, i, d]
         jt = (
-            _bmm(ja.reshape(W, K * n, n), vh, ((2,), (1,))).reshape(
+            _bmm(ja.reshape(W, K * n, n), vh, ((2,), (1,)), low).reshape(
                 W, K, n, dh
             )
-            + _bmm(a_b, jv_m, ((2,), (1,))).reshape(W, K, n, dh)
+            + _bmm(a_b, jv_m, ((2,), (1,)), low).reshape(W, K, n, dh)
         )
-        cross_t = _bmm(ja_m, jv_m, ((2,), (1,))).reshape(W, K, n, dh).sum(1)
+        cross_t = _bmm(ja_m, jv_m, ((2,), (1,)), low).reshape(W, K, n, dh).sum(1)
         lt = (
             _bmm(la, vh, ((2,), (1,)))
             + _bmm(a, lvh, ((2,), (1,)))

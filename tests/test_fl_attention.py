@@ -176,3 +176,33 @@ def test_2d_rewrite_matches_einsum_form():
     out = _mha_core_fl_2d(*(a[None] for a in args))
     for r, o in zip(ref, out):
         np.testing.assert_allclose(np.asarray(o[0]), np.asarray(r), rtol=1e-10)
+
+
+def test_pallas_kernel_low_precision_jac_mode(monkeypatch):
+    """DEEPQMC_TPU_JAC_MATMUL=bf16: the K-scaled jac contractions truncate
+    to native bf16 — outputs must stay within bf16 tolerance of full f32."""
+    monkeypatch.setenv('DEEPQMC_TPU_JAC_MATMUL', 'bf16')
+    rng = np.random.default_rng(5)
+    n, heads, dh, k = 5, 2, 8, 12
+    prim = [
+        jnp.asarray(rng.normal(size=(n, heads, dh)), jnp.float32)
+        for _ in range(3)
+    ]
+    jacs = [
+        jnp.asarray(rng.normal(size=(k, n, heads, dh)), jnp.float32)
+        for _ in range(3)
+    ]
+    laps = [
+        jnp.asarray(rng.normal(size=(n, heads, dh)), jnp.float32)
+        for _ in range(3)
+    ]
+    ref = mha_core_fl(*prim, *jacs, *laps)
+    out = _pallas_blocked(*(a[None] for a in (*prim, *jacs, *laps)), interpret=True)
+    # primal t: exact (never downcast); jac/lap: bf16-tolerance agreement
+    np.testing.assert_allclose(
+        np.asarray(out[0][0]), np.asarray(ref[0]), rtol=1e-6, atol=1e-6
+    )
+    for r, o in zip(ref[1:], out[1:]):
+        np.testing.assert_allclose(
+            np.asarray(o[0]), np.asarray(r), rtol=0.05, atol=0.05
+        )

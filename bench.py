@@ -46,6 +46,25 @@ def main():
     if args.platform:
         jax.config.update('jax_platforms', args.platform)
 
+    # seed the persistent XLA compile cache from the repo-committed
+    # bench_cache BEFORE the first jax compile: a fresh container's
+    # ~/.cache is empty, and the init/sampler programs then compile in
+    # seconds instead of minutes through the remote-compile tunnel
+    seed_src = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'bench_cache', 'jax'
+    )
+    seed_dst = os.environ.get(
+        'DEEPQMC_TPU_COMPILE_CACHE', os.path.expanduser('~/.cache/deepqmc_tpu/jax')
+    )
+    if os.path.isdir(seed_src):
+        import shutil
+
+        os.makedirs(seed_dst, exist_ok=True)
+        for name in os.listdir(seed_src):
+            dst = os.path.join(seed_dst, name)
+            if not os.path.exists(dst):
+                shutil.copy2(os.path.join(seed_src, name), dst)
+
     t_phase = time.perf_counter()
 
     def phase(name):

@@ -11,7 +11,7 @@ from .electron_samplers import (  # noqa: F401
     MetropolisSampler,
     ResampledSampler,
 )
-from .nuclei_samplers import IdleNucleiSampler, no_elec_warp  # noqa: F401
+from .combined_samplers import IdleNucleiSampler, no_elec_warp  # noqa: F401
 from .sampling_utils import (  # noqa: F401
     chain,
     clean_force,

@@ -19,9 +19,31 @@ import numpy as np
 
 from ..types import KeyArray, Params, PhysicalConfiguration, SamplerState, Stats
 from ..utils import better_where
-from .nuclei_samplers import IdleNucleiSampler  # noqa: F401  (re-export)
 
 log = logging.getLogger(__name__)
+
+
+class IdleNucleiSampler:
+    """The fixed-geometry nuclei "sampler": every move is zero.
+
+    The one geometry strategy that ships (like the reference); anything
+    implementing ``init(nuc_coords) -> state`` and ``sample(rng, state) ->
+    (state, dR, stats)`` plugs into :class:`MultiNuclearGeometrySampler`.
+    """
+
+    def __init__(self, charges):
+        del charges  # geometry moves would need them; staying put does not
+
+    def init(self, nuc_coords: jax.Array, *args, **kwargs) -> SamplerState:
+        return {'R': nuc_coords}
+
+    def sample(self, rng: KeyArray, state: SamplerState):
+        return state, jnp.zeros_like(state['R']), {}
+
+
+def no_elec_warp(rng, R, dR, smpl_state: SamplerState) -> SamplerState:
+    """Identity electron warp (electrons do not follow nuclear moves)."""
+    return smpl_state
 
 
 class MoleculeIdxSampler:

@@ -20,11 +20,12 @@ from ..parallel import rng_iterator, shard_walkers
 from ..physics import pairwise_diffs
 from ..types import Ansatz, KeyArray, Params, PhysicalConfiguration, SamplerState
 from .combined_samplers import (
+    IdleNucleiSampler,
     MoleculeIdxSampler,
     MultiElectronicStateSampler,
     MultiNuclearGeometrySampler,
+    no_elec_warp,
 )
-from .nuclei_samplers import IdleNucleiSampler, no_elec_warp
 
 __all__ = ['chain', 'combine_samplers']
 

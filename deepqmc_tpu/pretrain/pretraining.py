@@ -1,11 +1,13 @@
 """Supervised pretraining of the ansatz orbitals to the SCF baseline.
 
 Reference: /root/reference/src/deepqmc/pretrain/pretraining.py.  The step
-(sampling + orbital MSE + optimizer update) is one fused jitted program; the
-reference dispatches a pmap per step.
+runs as two jitted programs (sampling; orbital MSE + update) — see the
+comment at the definition site; the reference dispatches a pmap per step.
 """
 
+import logging
 import math
+import time
 from functools import partial
 
 import jax
@@ -17,6 +19,8 @@ from ..types import Ansatz
 from .pretraining_target import PretrainTarget
 
 __all__ = ['pretrain']
+
+log = logging.getLogger(__name__)
 
 
 def pretrain(  # noqa: C901
@@ -79,20 +83,42 @@ def pretrain(  # noqa: C901
     assert isinstance(opt, optax.GradientTransformation)
     opt_state = opt.init(params)
 
+    # TWO jitted programs instead of one fused step: the combined
+    # sample+loss+update program hit a pathological (tens-of-minutes) XLA:TPU
+    # compile on larger systems (ScO/benzene, round 4), and splitting both
+    # halves the peak program size and lets the log attribute which half
+    # compiles slowly.  Pretraining is compile-bound, not dispatch-bound, so
+    # the extra per-step dispatch is noise.
     @jax.jit
-    def pretrain_step(rng, params, smpl_state, opt_state, mol_idxs):
-        rng, rng_sample = jax.random.split(rng)
-        smpl_state, phys_conf, _ = sampler.sample(
-            rng_sample, smpl_state, params, mol_idxs
-        )
+    def sample_step(rng, smpl_state, params, mol_idxs):
+        return sampler.sample(rng, smpl_state, params, mol_idxs)
+
+    @jax.jit
+    def update_step(params, opt_state, phys_conf):
         (_, per_sample_losses), grads = loss_and_grad_fn(params, phys_conf)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, smpl_state, opt_state, per_sample_losses
+        return params, opt_state, per_sample_losses
 
+    first = True
     for step, rng_step in zip(steps, rng_iterator(rng)):
         mol_idxs = molecule_idx_sampler.sample()
-        params, smpl_state, opt_state, per_sample_losses = pretrain_step(
-            rng_step, params, smpl_state, opt_state, mol_idxs
+        _, rng_sample = jax.random.split(rng_step)
+        t0 = time.perf_counter()
+        smpl_state, phys_conf, _ = sample_step(
+            rng_sample, smpl_state, params, mol_idxs
         )
+        if first:
+            jax.block_until_ready(phys_conf.r)
+            t1 = time.perf_counter()
+            log.info(f'Pretrain sampling program ready in {t1 - t0:.0f}s')
+        params, opt_state, per_sample_losses = update_step(
+            params, opt_state, phys_conf
+        )
+        if first:
+            jax.block_until_ready(per_sample_losses)
+            log.info(
+                f'Pretrain update program ready in {time.perf_counter() - t1:.0f}s'
+            )
+            first = False
         yield step, params, per_sample_losses, mol_idxs

@@ -211,6 +211,7 @@ class TrainSession:
             self.electron_batch_size,
             self.mols,
         )
+        log.info('Pretraining: sampler state initialized, compiling step...')
         mse_rep = None
         with tqdm(range(n_steps), desc='pretrain', disable=None) as pbar:
             for step, params, losses, mol_idxs in pretrain(  # noqa: B007

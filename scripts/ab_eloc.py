@@ -32,6 +32,17 @@ VARIANTS = {
     'jac_bf16': {'DEEPQMC_TPU_JAC_DTYPE': 'bf16'},
     'jac_bf16_w4': {'DEEPQMC_TPU_JAC_DTYPE': 'bf16', 'ATTN_WB': 4},
     'jac_bf16_w8': {'DEEPQMC_TPU_JAC_DTYPE': 'bf16', 'ATTN_WB': 8},
+    # round-4 lever: jac-channel contractions natively in bf16 on the MXU
+    # (fwdlap dot rule + attention kernel _bmm low mode)
+    'jacmm_bf16': {
+        'DEEPQMC_TPU_JAC_DTYPE': 'bf16',
+        'DEEPQMC_TPU_JAC_MATMUL': 'bf16',
+    },
+    'jacmm_bf16_w4': {
+        'DEEPQMC_TPU_JAC_DTYPE': 'bf16',
+        'DEEPQMC_TPU_JAC_MATMUL': 'bf16',
+        'ATTN_WB': 4,
+    },
     'colform': {'DEEPQMC_TPU_ATTN_COLFORM': '1'},
     'colform_w4': {'DEEPQMC_TPU_ATTN_COLFORM': '1', 'ATTN_WB': 4},
     'block_loop_w1': {'DEEPQMC_TPU_BLOCK_KERNEL': '1', 'BLOCK_WB': 1},
@@ -77,6 +88,7 @@ FLAG_KEYS = [
     'DEEPQMC_TPU_GNN_STACK_BLOCK',
     'DEEPQMC_TPU_NO_PALLAS',
     'DEEPQMC_TPU_JAC_DTYPE',
+    'DEEPQMC_TPU_JAC_MATMUL',
 ]
 
 

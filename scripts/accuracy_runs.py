@@ -87,7 +87,7 @@ CONFIGS = {
         'tol_mha': 30.0,
     },
     'benzene_excited': {
-        'description': 'benzene, 2-state excited PsiFormer, 1024 walkers '
+        'description': 'benzene, 2-state excited PsiFormer, 512 walkers '
         '(progression config 5 stretch; short run - gap direction, not '
         'converged absolute energies)',
         'overrides': [
@@ -100,9 +100,12 @@ CONFIGS = {
             # build on a 1-core host; must stay in sync with
             # scripts/precompute_scf.py (the cached target's basis)
             'task.pretrain_kwargs.scf_kwargs.basis=sto-6g',
-            'task.electron_batch_size=1024',
-            'task.steps=1500',
-            'task.pretrain_steps=1000',
+            # 512 walkers: 42 electrons x 2 states on one tunneled chip —
+            # the round-4 budget buys gap direction + oscillator strength
+            # with honest (larger) error bars, not converged energies
+            'task.electron_batch_size=512',
+            'task.steps=600',
+            'task.pretrain_steps=400',
             '+task.fit_block_size=10',
         ],
         # benzene's forward-Laplacian jac channel is [walkers, 127, 42, 256]

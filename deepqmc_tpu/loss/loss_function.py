@@ -263,9 +263,15 @@ class VMCLoss:
             return jax.vmap(single)(conf_i, pert)
 
         (_, pullback, captures) = jax.vjp(fwd, state_params, perturb, has_aux=True)
-        grad_i, _ = pullback(cot_i)
-        # same residuals, all-ones cotangent: d sum(log psi) / d pert
-        _, sensitivities = pullback(jnp.ones_like(cot_i))
+        # ONE batched backward for both cotangents — the VMC-gradient field c
+        # and the all-ones taps cotangent (d sum(log psi) / d pert) — instead
+        # of two sequential backward sweeps over the same residuals: the
+        # backward GEMMs batch over the cotangent axis on the MXU
+        both = jax.vmap(pullback)(
+            jnp.stack([cot_i, jnp.ones_like(cot_i)])
+        )
+        grad_i = jax.tree_util.tree_map(lambda x: x[0], both[0])
+        sensitivities = jax.tree_util.tree_map(lambda x: x[1], both[1])
         return grad_i, (captures, sensitivities)
 
 

@@ -104,8 +104,8 @@ CONFIGS = {
             # the round-4 budget buys gap direction + oscillator strength
             # with honest (larger) error bars, not converged energies
             'task.electron_batch_size=512',
-            'task.steps=600',
-            'task.pretrain_steps=400',
+            'task.steps=400',
+            'task.pretrain_steps=300',
             '+task.fit_block_size=10',
         ],
         # benzene's forward-Laplacian jac channel is [walkers, 127, 42, 256]

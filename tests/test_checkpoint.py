@@ -164,3 +164,37 @@ def test_checkpoint_pickle_is_host_only(tmp_path, tiny_train_state):
     # round-trips through pickle without touching jax
     blob = pickle.dumps(state)
     assert pickle.loads(blob) is not None
+
+
+def test_serialize_packs_many_mixed_leaves():
+    """The packed per-dtype fetch must round-trip values, shapes, and dtypes
+    for KFAC-scale trees (hundreds of leaves, mixed dtypes, scalars)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepqmc_tpu.log import serialize_train_state
+    from deepqmc_tpu.types import TrainState
+
+    rng = np.random.default_rng(0)
+    opt = {}
+    for i in range(150):
+        opt[f'layer{i}/A'] = jnp.asarray(rng.normal(size=(7, 5)), jnp.float32)
+        opt[f'layer{i}/count'] = jnp.asarray(i, jnp.int32)
+    opt['flag'] = jnp.asarray(True)
+    opt['py_scalar'] = 3
+    state = TrainState(
+        {'elec': {'r': jnp.ones((1, 1, 4, 2, 3))},
+         'nuc': {'R': jnp.ones((1, 2, 3))},
+         'update_nuc_counter': jnp.asarray(0)},
+        {'w': jnp.asarray(rng.normal(size=(3, 2)), jnp.float64)},
+        opt,
+    )
+    out = serialize_train_state(state)
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(out)):
+        if hasattr(a, 'shape'):
+            assert np.asarray(b).shape == a.shape
+            assert np.asarray(b).dtype == a.dtype
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+        else:
+            assert a == b

@@ -276,15 +276,19 @@ def _jac_matmul_bf16() -> bool:
     in ONE MXU pass with no extra rounding on the already-bf16 operand.
     The primal and Laplacian contractions are never downcast.  Gated like
     the storage lever: ``DEEPQMC_TPU_JAC_MATMUL=bf16`` opts in, ``f32``
-    opts out.  Default OFF until the LiH convergence A/B gates a promotion
-    (the bf16-storage lever's promotion discipline, docs/PERF.md).
+    opts out; the default follows bf16 jac storage.  Promotion gated on the
+    LiH convergence A/B (r4_all variant, 2026-08-20: -8.071076(442) vs the
+    jac_bf16 control -8.070521(925) at matched 1000-step budget — 0.5
+    combined sigma; docs/evidence/ab_lih_convergence.jsonl).
     """
     import os
 
     name = os.environ.get('DEEPQMC_TPU_JAC_MATMUL', '').lower()
     if name in ('bf16', 'bfloat16'):
         return True
-    return False
+    if name in ('f32', 'float32', 'native', 'off', 'highest'):
+        return False
+    return _jac_store_dtype() is jnp.bfloat16
 
 
 def _dot_general_rule(eqn, invals, n):

@@ -53,11 +53,13 @@ def grad_precision_ctx():
     and the KFAC curvature taps — quantities with O(1/sqrt(walkers))
     sampling noise, far above the 3-pass-bf16 'high' mode's ~1e-6 rounding.
     The local-energy path is unaffected (it stays 'highest').  Override with
-    DEEPQMC_TPU_GRAD_PRECISION=(highest|high|default) or 'inherit'; the
-    default stays 'inherit' (= the global 'highest' pin) until the LiH
-    convergence A/B gates a promotion.  CPU ignores matmul precision.
+    DEEPQMC_TPU_GRAD_PRECISION=(highest|high|default) or 'inherit'.
+    Default 'high', promoted via the LiH convergence A/B (r4_all variant,
+    2026-08-20, within 0.5 combined sigma of the full-precision-gradient
+    control at matched budget; docs/evidence/ab_lih_convergence.jsonl).
+    CPU ignores matmul precision, so the f64 golden lane is unaffected.
     """
-    label = os.environ.get('DEEPQMC_TPU_GRAD_PRECISION', 'inherit')
+    label = os.environ.get('DEEPQMC_TPU_GRAD_PRECISION', 'high')
     if label == 'inherit':
         return nullcontext()
     return jax.default_matmul_precision(label)

@@ -29,9 +29,18 @@ VARIANTS = {
     'w8': {'ATTN_WB': 8},
     # bf16 Jacobian storage channel (fwdlap DEEPQMC_TPU_JAC_DTYPE): halves
     # jac HBM bytes; convergence-gated via scripts/ab_lih_convergence.py
-    'jac_bf16': {'DEEPQMC_TPU_JAC_DTYPE': 'bf16'},
-    'jac_bf16_w4': {'DEEPQMC_TPU_JAC_DTYPE': 'bf16', 'ATTN_WB': 4},
-    'jac_bf16_w8': {'DEEPQMC_TPU_JAC_DTYPE': 'bf16', 'ATTN_WB': 8},
+    # pre-r4 production path (storage lever only; matmul lever pinned off)
+    'jac_bf16': {'DEEPQMC_TPU_JAC_DTYPE': 'bf16', 'DEEPQMC_TPU_JAC_MATMUL': 'f32'},
+    'jac_bf16_w4': {
+        'DEEPQMC_TPU_JAC_DTYPE': 'bf16',
+        'DEEPQMC_TPU_JAC_MATMUL': 'f32',
+        'ATTN_WB': 4,
+    },
+    'jac_bf16_w8': {
+        'DEEPQMC_TPU_JAC_DTYPE': 'bf16',
+        'DEEPQMC_TPU_JAC_MATMUL': 'f32',
+        'ATTN_WB': 8,
+    },
     # round-4 lever: jac-channel contractions natively in bf16 on the MXU
     # (fwdlap dot rule + attention kernel _bmm low mode)
     'jacmm_bf16': {

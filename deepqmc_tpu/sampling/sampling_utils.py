@@ -134,10 +134,16 @@ def equilibrate(
                     *psi_series[-window + 1 :],
                     jnp.asarray(spread).mean().item(),
                 ]
+            # a sampler may emit the log-psi-spread stat only intermittently:
+            # require a FULL spread window before consulting it (a short
+            # series would make head/tail blocks overlap — trivially stable —
+            # and a 1-element series would crash stdev), mirroring the
+            # full-window requirement on the geometric series
             if (
                 len(series) == window
                 and stabilized(series)
-                and (not psi_series or stabilized(psi_series))
+                and (not psi_series or
+                     (len(psi_series) == window and stabilized(psi_series)))
             ):
                 break
 

@@ -62,6 +62,18 @@ def grad_precision_ctx():
     label = os.environ.get('DEEPQMC_TPU_GRAD_PRECISION', 'high')
     if label == 'inherit':
         return nullcontext()
+    if 'DEEPQMC_TPU_GRAD_PRECISION' not in os.environ and not getattr(
+        grad_precision_ctx, 'logged', False
+    ):
+        # reduced precision lands as a DEFAULT (advisor r4): announce once
+        grad_precision_ctx.logged = True
+        import logging
+
+        logging.getLogger(__name__).info(
+            "VMC-gradient/KFAC-tap pullback runs at matmul precision 'high' "
+            '(3-pass bf16) by default; DEEPQMC_TPU_GRAD_PRECISION=inherit '
+            'restores the global highest-precision pin'
+        )
     return jax.default_matmul_precision(label)
 
 

@@ -31,8 +31,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # the variant names keep their original semantics.
 _PRE_R4 = {'DEEPQMC_TPU_JAC_MATMUL': 'f32', 'DEEPQMC_TPU_GRAD_PRECISION': 'inherit'}
 VARIANTS = {
+    # TRUE reference semantics: matmul precision 'highest' everywhere,
+    # f32 jac storage AND contractions, inverses recomputed every step —
+    # the control the five stacked TPU-default levers are validated against
     'baseline': {
-        'env': {'DEEPQMC_TPU_SAMPLING_PRECISION': 'highest', **_PRE_R4},
+        'env': {
+            'DEEPQMC_TPU_SAMPLING_PRECISION': 'highest',
+            'DEEPQMC_TPU_JAC_DTYPE': 'f32',
+            **_PRE_R4,
+        },
         'inv_period': 1,
     },
     'inv5': {
@@ -112,6 +119,13 @@ def main():
     p.add_argument('--pretrain-steps', type=int, default=500)
     p.add_argument('--variants', default=None)
     p.add_argument('--workdir', default='runs/ab_lih')
+    p.add_argument(
+        '--seed',
+        type=int,
+        default=None,
+        help='override task.seed (seed-spread error bars, VERDICT r4 #8); '
+        'the workdir and the jsonl row are suffixed with the seed',
+    )
     args = p.parse_args()
     names = args.variants.split(',') if args.variants else list(VARIANTS)
 
@@ -119,7 +133,12 @@ def main():
     out.parent.mkdir(parents=True, exist_ok=True)
     for name in names:
         spec = VARIANTS[name]
-        wd = Path(args.workdir) / name
+        wd = Path(args.workdir) / (
+            name if args.seed is None else f'{name}_seed{args.seed}'
+        )
+        seed_overrides = (
+            [] if args.seed is None else [f'task.seed={args.seed}']
+        )
         t0 = time.time()
         run(
             [
@@ -132,6 +151,7 @@ def main():
                 f'task.pretrain_steps={args.pretrain_steps}',
                 '+task.fit_block_size=10',
                 f'task.opt.kfac.inverse_update_period={spec["inv_period"]}',
+                *seed_overrides,
                 f'--workdir={wd}',
             ],
             spec['env'],
@@ -154,7 +174,7 @@ def main():
         )
         energy, err = final_energy(f'{wd}_eval')
         row = {
-            'variant': name,
+            'variant': name if args.seed is None else f'{name}_seed{args.seed}',
             'energy': energy,
             'err': err,
             'dev_mha': (energy - REFERENCE) * 1e3,

@@ -86,6 +86,32 @@ CONFIGS = {
         'al. 2018, valence-only)',
         'tol_mha': 30.0,
     },
+    'lih_excited': {
+        'description': 'LiH, 2-state excited PsiFormer, 512 walkers '
+        '(hardware de-risk for the multi-state sampler + overlap-gradient '
+        'path at chip scale — the stepping stone to benzene)',
+        'overrides': [
+            'task=train_excited_psiformer',
+            'hamil/mol=LiH',
+            'task.electronic_states=2',
+            'task.pretrain_kwargs.scf_kwargs.cas=[4,2]',
+            'task.pretrain_kwargs.scf_kwargs.basis=sto-6g',
+            'task.electron_batch_size=512',
+            'task.steps=500',
+            'task.pretrain_steps=200',
+            '+task.fit_block_size=10',
+        ],
+        'env': {'DEEPQMC_TPU_GRAD_WALKER_CHUNK': '128'},
+        'eval_task': 'evaluate_excited',
+        'eval_steps': 100,
+        # S0 -8.070 (tutorial); the interesting observable is that the run
+        # COMPLETES on hardware and the S0-S1 gap is positive (A1Sigma+ ~3.2
+        # eV vertical at R=3.015)
+        'reference': -8.070,
+        'reference_source': 'reference doc/tutorial.rst:153 ground state; '
+        'de-risk run, gap direction only',
+        'tol_mha': 50.0,
+    },
     'benzene_excited': {
         'description': 'benzene, 2-state excited PsiFormer, 512 walkers '
         '(progression config 5 stretch; short run - gap direction, not '
@@ -110,8 +136,16 @@ CONFIGS = {
         ],
         # benzene's forward-Laplacian jac channel is [walkers, 127, 42, 256]
         # — chunk the eloc walker axis so HBM holds ~350 MB per intermediate
-        # instead of 2.7 GB (loss/energy.py _eloc_walker_chunk)
-        'env': {'DEEPQMC_TPU_ELOC_WALKER_CHUNK': '128'},
+        # instead of 2.7 GB (loss/energy.py _eloc_walker_chunk); the round-4
+        # OOM site was the OTHER half — the log-psi vjp pullback residuals +
+        # 2-cotangent backward (r04_benzene3.log) — bounded by the gradient
+        # walker chunk (loss/loss_function.py _grad_walker_chunk); pipelining
+        # off keeps a single block's outputs in HBM at the peak
+        'env': {
+            'DEEPQMC_TPU_ELOC_WALKER_CHUNK': '128',
+            'DEEPQMC_TPU_GRAD_WALKER_CHUNK': '128',
+            'DEEPQMC_TPU_NO_PIPELINE': '1',
+        },
         'eval_task': 'evaluate_excited',  # also records oscillator strengths
         'eval_steps': 200,
         'reference': -232.22,

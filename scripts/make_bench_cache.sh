@@ -25,6 +25,9 @@ for f in /tmp/bc_aot/bench_block-*.aot; do
   gzip -c "$f" > "bench_cache/$(basename "$f")"
 done
 cp /tmp/bc_aot/bench_block-*.hlo.gz bench_cache/ 2>/dev/null || true
+# program-content-keyed aliases: keep the executable reachable even when a
+# later source edit invalidates the primary (source-fingerprinted) key
+cp /tmp/bc_aot/bench_block-hlo-*.alias bench_cache/ 2>/dev/null || true
 cp /tmp/bc_jax/* bench_cache/jax/
 du -sh bench_cache bench_cache/jax; ls -la bench_cache | head
 

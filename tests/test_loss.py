@@ -166,6 +166,66 @@ def test_forward_only_call_matches_value_and_grad(loss_setup, helpers):
     np.testing.assert_allclose(np.asarray(E_loc), np.asarray(E_loc2))
 
 
+def test_chunked_pullback_matches_whole_batch(loss_setup, helpers, monkeypatch):
+    """DEEPQMC_TPU_GRAD_WALKER_CHUNK sequentializes the log-psi vjp without
+    changing the gradient (chunk 3 does not divide 8, so the chunker falls
+    back to the largest divisor); with the KFAC factor-sum reducer the
+    chunk-accumulated Kronecker factor sums must also match the whole-batch
+    pass."""
+    from deepqmc_tpu.kfac import KFAC
+    from deepqmc_tpu.kfac.kfac import factor_sums
+    from deepqmc_tpu.utils import ConstantSchedule
+
+    hamil, ansatz, params, phys_conf, weight = loss_setup
+    loss_fn = create_loss_fn(
+        hamil,
+        ansatz,
+        clip_mask_fn=median_log_squeeze_and_mask,
+        clip_mask_overlap_fn=psi_ratio_clip_and_mask,
+        alpha=1.0,
+    )
+    data = {
+        'energy_ewm': jnp.array([[-1.0, -0.6]]),
+        'std_ewm': jnp.array([[0.2, 0.3]]),
+    }
+    batch = (phys_conf, weight, data)
+    rng = helpers.rng(7)
+    (loss_w, _), grads_whole = loss_fn.value_and_grad(params, rng, batch)
+
+    # layer metadata for the taps path, exactly as KFAC.step builds it
+    kfac = KFAC(loss_fn.value_and_grad, learning_rate_schedule=ConstantSchedule(1.0))
+    kfac.bind_ansatz(ansatz)
+    single_pc = jax.tree_util.tree_map(
+        lambda x: x.reshape(-1, *x.shape[3:])[0], phys_conf
+    )
+    metas = kfac._discover_layers(params[0], single_pc)
+    taps_spec = {m.path: list(m.out_shapes) for m in metas}
+    reducer = partial(factor_sums, metas)
+    (_, _), grads_taps_whole, sums_whole = loss_fn.value_grad_and_taps(
+        params, rng, batch, taps_spec, reducer
+    )
+
+    monkeypatch.setenv('DEEPQMC_TPU_GRAD_WALKER_CHUNK', '3')
+    (loss_c, _), grads_chunked = loss_fn.value_and_grad(params, rng, batch)
+    (_, _), grads_taps_chunked, sums_chunked = loss_fn.value_grad_and_taps(
+        params, rng, batch, taps_spec, reducer
+    )
+
+    np.testing.assert_allclose(np.asarray(loss_c), np.asarray(loss_w))
+    for whole, chunked in (
+        (grads_whole, grads_chunked),
+        (grads_taps_whole, grads_taps_chunked),
+        (sums_whole, sums_chunked),
+    ):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-8, atol=1e-10
+            ),
+            whole,
+            chunked,
+        )
+
+
 def test_chunked_eloc_matches_whole_batch(loss_setup, helpers, monkeypatch):
     """DEEPQMC_TPU_ELOC_WALKER_CHUNK sequentializes the walker axis without
     changing the local energies (chunk 3 does not divide 8, so the chunker

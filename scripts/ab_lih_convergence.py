@@ -89,6 +89,18 @@ VARIANTS = {
         },
         'inv_period': 5,
     },
+    # round-5 candidate: single-pass bf16 matmuls in the pure-forward MCMC
+    # sweeps (acceptance log-ratios are O(0.1-1); bf16 rounding is ~1e-3) —
+    # stacked on the full production defaults
+    'samp_bf16': {
+        'env': {
+            'DEEPQMC_TPU_SAMPLING_PRECISION': 'default',
+            'DEEPQMC_TPU_JAC_DTYPE': 'bf16',
+            'DEEPQMC_TPU_JAC_MATMUL': 'bf16',
+            'DEEPQMC_TPU_GRAD_PRECISION': 'high',
+        },
+        'inv_period': 5,
+    },
 }
 
 REFERENCE = -8.07000  # reference doc/tutorial.rst:153

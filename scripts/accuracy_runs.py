@@ -94,7 +94,9 @@ CONFIGS = {
             'task=train_excited_psiformer',
             'hamil/mol=LiH',
             'task.electronic_states=2',
-            'task.pretrain_kwargs.scf_kwargs.cas=[4,2]',
+            # the built-in minimal basis gives LiH only 3 MOs: 1 core + the
+            # (sigma, sigma*) active pair is the largest CAS that fits
+            'task.pretrain_kwargs.scf_kwargs.cas=[2,2]',
             'task.pretrain_kwargs.scf_kwargs.basis=sto-6g',
             'task.electron_batch_size=512',
             'task.steps=500',

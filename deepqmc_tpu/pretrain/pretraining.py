@@ -7,6 +7,7 @@ comment at the definition site; the reference dispatches a pmap per step.
 
 import logging
 import math
+import os
 import time
 from functools import partial
 
@@ -93,9 +94,51 @@ def pretrain(  # noqa: C901
     def sample_step(rng, smpl_state, params, mol_idxs):
         return sampler.sample(rng, smpl_state, params, mol_idxs)
 
+    # the orbital-MSE gradient's vjp residuals (every layer activation of
+    # [mol, state, walker] forwards) are the pretrain HBM peak — benzene at
+    # 2 states x 512 walkers OOM'd exactly here (the round-4 'jit(update_step)'
+    # dump).  The loss is a mean over walkers, so equal-size walker chunks
+    # give the exact gradient as the mean of chunk gradients; lax.scan bounds
+    # the peak to one chunk.  Same lever as the VMC-loss pullback
+    # (loss/loss_function.py): DEEPQMC_TPU_GRAD_WALKER_CHUNK.
+    chunk = int(os.environ.get('DEEPQMC_TPU_GRAD_WALKER_CHUNK', '0'))
+
     @jax.jit
     def update_step(params, opt_state, phys_conf):
-        (_, per_sample_losses), grads = loss_and_grad_fn(params, phys_conf)
+        n_w = phys_conf.batch_shape[2]
+        size = (
+            max(d for d in range(1, min(chunk, n_w) + 1) if n_w % d == 0)
+            if chunk
+            else n_w
+        )
+        if size == n_w:
+            (_, per_sample_losses), grads = loss_and_grad_fn(params, phys_conf)
+        else:
+            resh = lambda x: jnp.moveaxis(
+                x.reshape(*x.shape[:2], n_w // size, size, *x.shape[3:]), 2, 0
+            )
+            pc_chunks = jax.tree_util.tree_map(resh, phys_conf)
+
+            def chunk_term(pc_c):
+                (_, psl), g = loss_and_grad_fn(params, pc_c)
+                return g, psl
+
+            first_pc = jax.tree_util.tree_map(lambda x: x[0], pc_chunks)
+            g_shapes, _ = jax.eval_shape(chunk_term, first_pc)
+            g_zero = jax.tree_util.tree_map(
+                lambda sd: jnp.zeros(sd.shape, sd.dtype), g_shapes
+            )
+
+            def body(carry, pc_c):
+                g, psl = chunk_term(pc_c)
+                return jax.tree_util.tree_map(jnp.add, carry, g), psl
+
+            g_sum, psl_stack = jax.lax.scan(body, g_zero, pc_chunks)
+            grads = jax.tree_util.tree_map(lambda x: x / (n_w // size), g_sum)
+            # [n_chunks, mol, state, size] -> [mol, state, walker]
+            per_sample_losses = jnp.moveaxis(psl_stack, 0, 2).reshape(
+                *psl_stack.shape[1:3], -1
+            )
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, per_sample_losses

@@ -126,6 +126,63 @@ def test_pretrain_h2_improves_orbitals(helpers):
     assert np.mean(losses[-10:]) < 0.3 * np.mean(losses[:5])
 
 
+def test_pretrain_chunked_update_matches_whole_batch(helpers, monkeypatch):
+    """DEEPQMC_TPU_GRAD_WALKER_CHUNK chunks the orbital-MSE gradient (the
+    benzene-scale pretrain OOM site) without changing the update: equal-size
+    walker chunks average to the exact whole-batch gradient."""
+    from deepqmc_tpu.presets import ansatz_preset
+    from deepqmc_tpu.sampling import (
+        DecorrSampler,
+        MetropolisSampler,
+        combine_samplers,
+        initialize_sampler_state,
+        initialize_sampling,
+    )
+    from deepqmc_tpu.wf import init_wf_params, instantiate_ansatz
+
+    hamil = helpers.hamil(mol=helpers.mol('H2'))
+    ansatz = instantiate_ansatz(
+        hamil,
+        ansatz_preset(
+            'default', n_determinants=2, embedding_dim=16, n_interactions=1,
+            two_particle_stream_dim=8,
+        ),
+    )
+    mols = [hamil.mol]
+    dataset = compute_scf_solution(mols, hamil, 1)
+    mol_idx_sampler, sampler = initialize_sampling(
+        helpers.rng(0), hamil, ansatz, mols, 1, 1,
+        elec_sampler=partial(
+            combine_samplers,
+            [DecorrSampler(length=1), partial(MetropolisSampler, tau=1.0)],
+        ),
+    )
+    params = init_wf_params(helpers.rng(1), hamil, ansatz, 1)
+    smpl_state = initialize_sampler_state(helpers.rng(2), sampler, params, 16, mols)
+
+    def run_steps():
+        out = []
+        for _, p, psl, _ in pretrain(
+            helpers.rng(3), hamil, ansatz, params, optax.sgd(1e-2),
+            mol_idx_sampler, sampler, smpl_state, dataset, steps=range(3),
+        ):
+            out.append((p, np.asarray(psl)))
+        return out
+
+    whole = run_steps()
+    monkeypatch.setenv('DEEPQMC_TPU_GRAD_WALKER_CHUNK', '5')  # 16 -> chunks of 4
+    chunked = run_steps()
+    for (p_w, psl_w), (p_c, psl_c) in zip(whole, chunked):
+        np.testing.assert_allclose(psl_c, psl_w, rtol=1e-9, atol=1e-12)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=1e-8, atol=1e-11
+            ),
+            p_w,
+            p_c,
+        )
+
+
 def test_minimal_contracted_basis():
     """Atomic-HF-contracted minimal basis: exact for the atom, STO-6G-class
     for molecules, tiny AO counts (reference default is minimal STO-6G,

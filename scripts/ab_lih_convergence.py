@@ -124,6 +124,22 @@ def final_energy(workdir):
     return float(samples.mean()), float(step_means.std() / len(step_means) ** 0.5)
 
 
+def robust_energy(workdir):
+    """10-MAD-clipped eval mean: a single near-node walker can pull the raw
+    mean by tens of mHa on short-budget wavefunctions (seen on the r5
+    baseline control: one -890 Ha sample = -20 mHa on the raw mean), so the
+    A/B gate rows also carry an outlier-insensitive estimate."""
+    import h5py
+    import numpy as np
+
+    with h5py.File(Path(workdir) / 'evaluation' / 'result.h5', 'r') as f:
+        e = np.asarray(f['local_energy/samples']).reshape(-1)
+    med = np.median(e)
+    mad = np.median(np.abs(e - med))
+    mask = np.abs(e - med) < 10 * mad
+    return float(e[mask].mean()), float(e[mask].std() / mask.sum() ** 0.5)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--steps', type=int, default=1500)
@@ -185,11 +201,14 @@ def main():
             timeout=3600,
         )
         energy, err = final_energy(f'{wd}_eval')
+        energy_rob, err_rob = robust_energy(f'{wd}_eval')
         row = {
             'variant': name if args.seed is None else f'{name}_seed{args.seed}',
             'energy': energy,
             'err': err,
             'dev_mha': (energy - REFERENCE) * 1e3,
+            'energy_robust': energy_rob,
+            'err_robust': err_rob,
             'steps': args.steps,
             'train_seconds': round(train_s),
         }

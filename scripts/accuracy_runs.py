@@ -135,21 +135,27 @@ CONFIGS = {
             'task.steps=400',
             'task.pretrain_steps=300',
             '+task.fit_block_size=10',
+            # post-pretrain equilibration at benzene scale costs ~4.5 s/step;
+            # the r05 attempt-3 run spent 75 min hitting the 1000-step cap —
+            # 300 steps is plenty on a pretrained wavefunction and training
+            # itself continues the burn-in
+            '+task.max_eq_steps=300',
         ],
         # benzene's forward-Laplacian jac channel is [walkers, 127, 42, 256]
-        # — chunk the eloc walker axis so HBM holds ~350 MB per intermediate
-        # instead of 2.7 GB (loss/energy.py _eloc_walker_chunk); the round-4
-        # OOM site was the OTHER half — the log-psi vjp pullback residuals +
-        # 2-cotangent backward (r04_benzene3.log) — bounded by the gradient
-        # walker chunk (loss/loss_function.py _grad_walker_chunk); pipelining
-        # off keeps a single block's outputs in HBM at the peak
+        # — chunk the eloc walker axis (loss/energy.py) AND the gradient/
+        # pretrain pullbacks (loss_function.py, pretraining.py) so HBM holds
+        # chunk-sized intermediates; pipelining off keeps a single block's
+        # outputs in HBM at the peak.  Chunk 64: the r05 attempt at 128
+        # missed HBM by 870 MB (16.60 / 15.75 GB) after compile
+        # (runs/logs/r05_benzene3.log) — 64 halves the chunk-proportional
+        # temps for a ~7 GB margin
         'env': {
-            'DEEPQMC_TPU_ELOC_WALKER_CHUNK': '128',
-            'DEEPQMC_TPU_GRAD_WALKER_CHUNK': '128',
+            'DEEPQMC_TPU_ELOC_WALKER_CHUNK': '64',
+            'DEEPQMC_TPU_GRAD_WALKER_CHUNK': '64',
             'DEEPQMC_TPU_NO_PIPELINE': '1',
         },
         'eval_task': 'evaluate_excited',  # also records oscillator strengths
-        'eval_steps': 200,
+        'eval_steps': 150,
         'reference': -232.22,
         'reference_source': 'ground-state estimate only; the interesting '
         'observable is the S0-S1 gap (4.9 eV exp.)',

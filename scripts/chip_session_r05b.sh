@@ -18,6 +18,16 @@ stage() { # stage <name> <timeout_s> <cmd...>
 
 echo "=== r05 part 2 start $(date) ===" >> "$SESSION"
 
+# E0: benzene eval recovery — if the benzene TRAINING completed but the
+# stage timeout killed the evaluation, rerun only the eval (accuracy_runs
+# skips completed trainings via the done-log check).  Guard hard against
+# retraining: only fire when the training log says completed AND no eval
+# result exists yet.
+if grep -q 'training has been completed' runs/accuracy/benzene_excited/deepqmc.log 2>/dev/null \
+   && ! grep -q 'evaluation has been completed' runs/accuracy/benzene_excited_eval/deepqmc.log 2>/dev/null; then
+  stage benzene_eval_recovery 5400 python scripts/accuracy_runs.py --only benzene_excited
+fi
+
 # E: component attribution INCLUDING the optimizer half, at headline shapes
 #    (marginal-scan timing; the committed table VERDICT r3/r4 ask for)
 stage attribution 3600 python scripts/profile_step_marginal.py \
@@ -37,13 +47,12 @@ stage trace_parse 600 python scripts/trace_eloc.py --parse-only \
   --tracedir /tmp/r05trace --top 60
 cp runs/logs/r05_trace_parse.log docs/evidence/trace_step_r05.txt || true
 
-# G: ScO fused-block crash probe — the round-4 worker crash reproduced (or
-#    not) WITHOUT the eloc walker chunk, at the production fused-block path
-#    (random init, pretrain skipped: only the program shape matters)
-stage sco_probe 5400 python -m deepqmc_tpu task=train_psiformer \
-  hamil/mol=ScO +hamil.ecp_type=ccECP task.electron_batch_size=1024 \
-  task.steps=10 task.pretrain_steps=null +task.max_eq_steps=2 \
-  +task.fit_block_size=5 --workdir=runs/sco_probe_r05
+# G (dropped 03:00 session call): the unchunked ScO fused-block crash probe
+#    needs a fresh 30-50 min XLA compile of its own program class; with the
+#    r05 chip budget consumed by the benzene equilibration/compile, the
+#    accuracy stages outrank it.  The round-5 wedge evidence (two worker
+#    hangs after client kills, healthy runs before/after at identical
+#    shapes) is recorded in PERF.md as the infra-class diagnosis.
 
 # H: samp_bf16 convergence gate (LiH matched budget)
 stage ab_sampbf16 6000 python scripts/ab_lih_convergence.py --variants samp_bf16

@@ -1,11 +1,17 @@
 #!/bin/bash
-# Round-5 chip session, part 3: the H2O headline run (fresh — the round-4
-# 25k checkpoint was never committed, so there is nothing to resume; this
-# run doubles as the pretrain-quality discriminator VERDICT r4 item 5.ii
-# asked for: 10k lamb pretrain vs the 1k of the +2.8 mHa row), then the
-# ScO dissociation energy, then the LiH 2-state de-risk retry.
-# The bench-cache regeneration is NOT here — it must be the last chip use
-# of the round, after the final source commit (scripts/make_bench_cache.sh).
+# Round-5 chip session, part 3 (FINAL priority queue, rewritten 03:55 after
+# benzene attempt 3's compile-time OOM at chunk 128):
+#
+#   1. benzene attempt 4 — task=restart from attempt 3's chkpt-0.pt (params
+#      are pretrained, walkers equilibrated: skips the 25-min pretrain and
+#      the 75-min equilibration) at walker chunk 64 (fits with ~7 GB margin)
+#   2. LiH seed-1 at the matched 1000-step budget (seed-spread error bar)
+#   3. ScO dissociation atoms (clock-guarded: only if reached early enough)
+#
+# The H2O continuation is explicitly DROPPED this round: the single-chip
+# budget went to benzene per VERDICT r4's own priority order (item 1 over
+# item 5); docs/ACCURACY.md records this.  The bench-cache regeneration is
+# driven manually after the final source commit (scripts/make_bench_cache.sh).
 set -x
 cd /root/repo
 mkdir -p docs/evidence runs/logs
@@ -19,26 +25,27 @@ stage() { # stage <name> <timeout_s> <cmd...>
   touch "/tmp/r05_${name}.done"
 }
 
-H2O_STEPS=${H2O_STEPS:-20000}
-H2O_PRETRAIN=${H2O_PRETRAIN:-10000}
-H2O_TIMEOUT=${H2O_TIMEOUT:-13500}
+echo "=== r05 part 3 start $(date) ===" >> "$SESSION"
 
-echo "=== r05 part 3 start $(date) (h2o ${H2O_STEPS}+${H2O_PRETRAIN}pt) ===" >> "$SESSION"
+# 1: benzene attempt 4 — restart from the pretrained+equilibrated checkpoint
+stage benzene4 14400 python scripts/accuracy_runs.py \
+  --only benzene_excited --resume-to 400
 
-# I: H2O headline, fresh, long pretrain (discriminator for the +2.8 mHa gap)
-stage h2o_train "$H2O_TIMEOUT" python -m deepqmc_tpu task=train_psiformer \
-  hamil/mol=H2O task.electron_batch_size=2048 "task.steps=${H2O_STEPS}" \
-  "task.pretrain_steps=${H2O_PRETRAIN}" +task.fit_block_size=10 \
-  --workdir=runs/accuracy/h2o_r05
-stage h2o_eval 2700 python -m deepqmc_tpu task=evaluate \
-  task.restdir=runs/accuracy/h2o_r05/training +task.steps=500 \
-  +task.fit_block_size=10 --workdir=runs/accuracy/h2o_r05_eval
+# 2: ScO dissociation atoms — config 4's falsifiable accuracy axis
+#    (skip if past 08:00 UTC; leaves seed1m + bench-cache room)
+if [ "$(date +%s)" -lt 1787299200 ]; then
+  stage sco_dissoc 7200 python scripts/sco_dissociation.py \
+    --steps 1500 --eval-steps 200
+else
+  echo "stage sco_dissoc: SKIPPED (clock)" | tee -a "$SESSION"
+fi
 
-# J: ScO dissociation energy (atoms at the same tables; offsets cancel)
-stage sco_dissoc 9000 python scripts/sco_dissociation.py \
-  --steps 2000 --eval-steps 300
-
-# K: LiH 2-state de-risk retry (CAS fixed to the minimal basis)
-stage lih_excited2 2700 python scripts/accuracy_runs.py --only lih_excited
+# 3: seed spread at matched budget (skip if past 08:45 UTC)
+if [ "$(date +%s)" -lt 1787301900 ]; then
+  stage ab_seed1m 4500 python scripts/ab_lih_convergence.py \
+    --variants r4_all --seed 1 --steps 1000
+else
+  echo "stage ab_seed1m: SKIPPED (clock)" | tee -a "$SESSION"
+fi
 
 echo "=== r05 part 3 queue done $(date) ===" >> "$SESSION"

@@ -308,8 +308,10 @@ def oscillator_strength_statistics(batch: Batch, samples) -> Stats:
         return all_device_mean(x, axis=axis), all_device_std(x, axis=axis) / n**0.5
 
     e, e_err = mean_err(batch.local_energy, -1)
-    gap = e[None, :] - e[:, None]
-    gap_err = (e_err**2 + e_err[:, None] ** 2) ** 0.5
+    # e is [mol, state]: the pair axes must broadcast over STATES, keeping
+    # the molecule axis leading -> gap[mol, i, j] = E_j - E_i
+    gap = e[..., None, :] - e[..., :, None]
+    gap_err = (e_err[..., None, :] ** 2 + e_err[..., :, None] ** 2) ** 0.5
 
     # transition dipole components: (-Σ_i r_i) ψ_j/ψ_k per walker
     dipole = jnp.sum(-batch.phys_conf.r, axis=-2)[:, None] * batch.psi_ratios[..., None]
@@ -325,10 +327,12 @@ def oscillator_strength_statistics(batch: Batch, samples) -> Stats:
     strength_err = jnp.sum(strength_vec_err**2, axis=-1) ** 0.5
 
     f = (2 / 3) * gap * strength
+    # relative errors, guarded on the (i == i) diagonal where gap is zero by
+    # construction (f is zero there too; report zero error, not NaN)
+    safe = lambda num, den: jnp.where(den != 0, num / jnp.where(den == 0, 1.0, den), 0.0)
     f_err = (
-        (2 / 3)
-        * jnp.abs(f)
-        * ((gap_err / gap) ** 2 + (strength_err / strength) ** 2) ** 0.5
+        jnp.abs(f)
+        * (safe(gap_err, gap) ** 2 + safe(strength_err, strength) ** 2) ** 0.5
     )
     return {'oscillator_strength/mean': f, 'oscillator_strength/err': f_err}
 

@@ -71,3 +71,7 @@ def test_evaluate_excited_records_oscillator_strength(tmp_path):
     assert np.isfinite(e_loc).all()
     assert f01.shape[-2:] == (2, 2)
     assert np.isfinite(f01).any()
+    # the off-diagonal transition strength must be genuinely computed, not a
+    # placeholder: exact 0.0 was the symptom of the mol-axis gap-broadcast
+    # bug (observable.py oscillator_strength_statistics)
+    assert np.any(f01[..., 0, 1] != 0.0)

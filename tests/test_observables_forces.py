@@ -175,3 +175,40 @@ def test_monitor_grid_vmap_routes_per_state_params(h2_setup):
                 jax.tree_util.tree_map(lambda x: x[0, i, k], grid_pc),
             )
             assert np.allclose(samples[0, i, k], float(ref), rtol=1e-6), (i, k)
+
+
+def test_oscillator_strength_statistics_mol_axis():
+    """Monitor-path estimator agrees with the postprocess estimator.
+
+    Regression: the state-pair energy gap used to broadcast over the
+    MOLECULE axis (``e[None, :] - e[:, None]`` on a ``[mol, state]`` array),
+    which collapses to exact zeros for a single molecule — every recorded
+    oscillator strength was 0.0 and every error NaN.
+    """
+    from deepqmc_tpu.observable import Batch, oscillator_strength_statistics
+    from deepqmc_tpu.types import PhysicalConfiguration
+
+    rng = np.random.default_rng(1)
+    m, s, w, ne = 1, 2, 64, 3
+    e = jnp.asarray(
+        rng.normal(size=(m, s, w)) + np.array([0.0, 1.0])[None, :, None]
+    )
+    ratios = jnp.asarray(rng.normal(size=(m, s, s, w)) * 0.3)
+    rs = jnp.asarray(rng.normal(size=(m, s, w, ne, 3)))
+    batch = Batch(
+        None,
+        PhysicalConfiguration(jnp.zeros((m, s, w, 1, 3)), rs, jnp.zeros((m, s, w), jnp.int32)),
+        None,
+        e,
+        ratios,
+    )
+    stats = oscillator_strength_statistics(batch, None)
+    f = np.asarray(stats['oscillator_strength/mean'])
+    f_err = np.asarray(stats['oscillator_strength/err'])
+    assert f.shape == (m, s, s) and f_err.shape == (m, s, s)
+    assert np.allclose(np.diagonal(f, axis1=1, axis2=2), 0.0)
+    assert f[0, 0, 1] != 0.0 and np.isfinite(f).all()
+    assert np.isfinite(f_err).all()
+    # means agree with the postprocess estimator (single molecule)
+    (f_ref, _), _, _ = compute_oscillator_strength(e[0], ratios[0], rs[0])
+    np.testing.assert_allclose(f[0], np.asarray(f_ref), rtol=1e-6)
